@@ -1,0 +1,215 @@
+"""Jitted STFT / mel-spectrogram / frame-energy front end.
+
+Numerically equivalent to the reference audio chain
+(reference audio/stft.py:14-160, audio/audio_processing.py:80-95) but
+TPU-native: one jitted function, no host round-trips (the reference
+hard-codes a ``.cuda()``/``.cpu()`` per call, stft.py:66-69).
+
+Reference semantics reproduced exactly:
+- reflect-pad ``filter_length//2`` on both sides (stft.py:57-62),
+- frames of ``filter_length`` at ``hop_length`` stride
+  => ``n_frames = len(x)//hop + 1``,
+- periodic Hann window of ``win_length`` centered in ``filter_length``
+  (stft.py:38-43),
+- magnitude spectrum (stft.py:71-76),
+- mel = slaney-normalized librosa filterbank @ magnitude (stft.py:126-129),
+- log compression ``log(clamp(x, 1e-5))`` (audio_processing.py:80-86),
+- energy = L2 norm of the *linear* magnitudes per frame (stft.py:158).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------------
+# Host-side (numpy) constant construction
+# ----------------------------------------------------------------------
+
+def hann_periodic(win_length: int) -> np.ndarray:
+    """Periodic Hann window == scipy.signal.get_window('hann', N, fftbins=True)."""
+    n = np.arange(win_length)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+
+
+def pad_center(window: np.ndarray, size: int) -> np.ndarray:
+    """Zero-pad a window symmetrically to ``size`` (librosa.util.pad_center)."""
+    lpad = (size - len(window)) // 2
+    out = np.zeros(size, dtype=window.dtype)
+    out[lpad:lpad + len(window)] = window
+    return out
+
+
+def _hz_to_mel_slaney(f):
+    """Slaney mel scale (librosa default, htk=False)."""
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    mel = f / f_sp
+    log_region = f >= min_log_hz
+    mel = np.where(log_region, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mel)
+    return mel
+
+
+def _mel_to_hz_slaney(m):
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    f = m * f_sp
+    log_region = m >= min_log_mel
+    f = np.where(log_region, min_log_hz * np.exp(logstep * (m - min_log_mel)), f)
+    return f
+
+
+def mel_filterbank(
+    sampling_rate: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float,
+    fmax: float,
+) -> np.ndarray:
+    """Slaney-scale, slaney-normalized triangular mel filterbank.
+
+    Matches ``librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax)`` with the
+    defaults used by the reference (htk=False, norm='slaney';
+    stft.py:128-129). Returns [n_mels, n_fft//2 + 1].
+    """
+    fftfreqs = np.linspace(0.0, sampling_rate / 2.0, 1 + n_fft // 2)
+    mel_pts = np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2)
+    mel_f = _mel_to_hz_slaney(mel_pts)
+
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+
+    # Slaney-style energy normalization.
+    enorm = 2.0 / (mel_f[2: n_mels + 2] - mel_f[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# Jitted device kernels
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length"))
+def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """Reflect-pad and slice a 1-D signal into overlapping frames.
+
+    x: [T] in [-1, 1]. Returns [n_frames, n_fft] with
+    n_frames = T // hop_length + 1 (reference stft.py:57-70 frame count).
+    """
+    pad = n_fft // 2
+    xp = jnp.pad(x, (pad, pad), mode="reflect")
+    n_frames = x.shape[0] // hop_length + 1
+    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    return xp[idx]
+
+
+def stft_magnitude(
+    x: jnp.ndarray, window: jnp.ndarray, n_fft: int, hop_length: int
+) -> jnp.ndarray:
+    """Magnitude STFT of a 1-D signal. Returns [n_freq, n_frames]."""
+    frames = frame_signal(x, n_fft, hop_length) * window[None, :]
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    return jnp.abs(spec).T.astype(jnp.float32)
+
+
+def dynamic_range_compression(x: jnp.ndarray, clip_val: float = 1e-5) -> jnp.ndarray:
+    """log(clamp(x, clip_val)) — reference audio_processing.py:80-86."""
+    return jnp.log(jnp.clip(x, min=clip_val))
+
+
+def dynamic_range_decompression(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.exp(x)
+
+
+class MelFrontend:
+    """Precomputed-constant mel front end with jitted __call__.
+
+    Functional analog of the reference's module-level TacotronSTFT
+    singleton (audio/tools.py:10-13).
+    """
+
+    def __init__(self, config):
+        self.config = config
+        self.n_fft = config.filter_length
+        self.hop_length = config.hop_length
+        window = pad_center(hann_periodic(config.win_length), config.filter_length)
+        self.window = jnp.asarray(window, dtype=jnp.float32)
+        self.mel_basis = jnp.asarray(
+            mel_filterbank(
+                config.sampling_rate,
+                config.filter_length,
+                config.n_mel_channels,
+                config.mel_fmin,
+                config.mel_fmax,
+            )
+        )
+        self._jitted = jax.jit(self._mel_energy)
+
+    def _mel_energy(self, audio: jnp.ndarray):
+        mag = stft_magnitude(audio, self.window, self.n_fft, self.hop_length)
+        mel = dynamic_range_compression(self.mel_basis @ mag)
+        energy = jnp.linalg.norm(mag, axis=0)
+        return mel, energy
+
+    def __call__(self, audio: jnp.ndarray):
+        """audio: [T] float in [-1, 1]. Returns (mel [n_mels, F], energy [F])."""
+        return self._jitted(audio)
+
+    def mel_spectrogram(self, audio: jnp.ndarray):
+        """Alias matching the reference TacotronSTFT API (stft.py:141-160)."""
+        return self(audio)
+
+
+def griffin_lim(
+    magnitudes: jnp.ndarray,
+    window: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    n_iters: int = 30,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Griffin-Lim phase reconstruction (reference audio_processing.py:61-77).
+
+    magnitudes: [n_freq, n_frames]. Returns the time-domain signal.
+    Uses jnp.fft.irfft + overlap-add; runs fully on device under jit.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_frames = magnitudes.shape[1]
+    angles = jax.random.uniform(key, (magnitudes.shape[0], n_frames)) * 2 * jnp.pi
+
+    def istft(mag, phase):
+        spec = mag * jnp.exp(1j * phase)
+        frames = jnp.fft.irfft(spec.T, n=n_fft, axis=-1) * window[None, :]
+        out_len = n_fft + hop_length * (n_frames - 1)
+        idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+        sig = jnp.zeros(out_len).at[idx.reshape(-1)].add(frames.reshape(-1))
+        wss = jnp.zeros(out_len).at[idx.reshape(-1)].add(
+            jnp.tile(window**2, (n_frames,))
+        )
+        sig = jnp.where(wss > 1e-11, sig / jnp.maximum(wss, 1e-11), sig)
+        return sig[n_fft // 2: -(n_fft // 2)]
+
+    def body(_, carry):
+        phase = carry
+        sig = istft(magnitudes, phase)
+        frames = frame_signal(sig, n_fft, hop_length) * window[None, :]
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1).T
+        return jnp.angle(spec)[:, :n_frames]
+
+    phase = jax.lax.fori_loop(0, n_iters, body, angles)
+    return istft(magnitudes, phase)

