@@ -1,0 +1,214 @@
+"""FastSpeech-style FFT-block transformer stack, TPU-native.
+
+Functional parity targets (all in /root/reference):
+- MultiHeadAttention / ScaledDotProductAttention: transformer/SubLayers.py:10-61,
+  transformer/Modules.py:6-25 — post-LN residual attention with key-side
+  masking at -inf and output zeroing on padded queries.
+- PositionwiseFeedForward: SubLayers.py:64-89 — Conv1d(k=9) → ReLU →
+  Conv1d(k=1), dropout, post-LN residual.
+- FFTBlock: Layers.py:10-34.
+- Encoder/Decoder: Models.py:33-135 — phoneme embedding (padding_idx 0)
+  + fixed sinusoid table (len max_seq_len+1); the decoder adds the table
+  to its input directly.
+- PostNet: Layers.py:67-130 — Tacotron2 5-conv residual mel refiner.
+
+TPU-first choices: batched attention via one einsum per projection
+(heads folded into the feature axis, contracted on the MXU), no Python
+loops, static shapes, additive -1e9 masking instead of -inf (avoids
+NaN·0 cleanup on fully-padded rows — outputs are zeroed by query mask
+exactly like the reference's masked_fill).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from styler_tpu.ops.position import sinusoid_table
+
+_NEG_INF = -1e9
+
+
+class MultiHeadAttention(nn.Module):
+    n_head: int
+    d_model: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, deterministic: bool):
+        """x: [B, T, D]; attn_mask: [B, T, T] True where key is padding."""
+        d_head = self.d_model // self.n_head
+        B, T, _ = x.shape
+
+        q = nn.Dense(self.d_model, name="w_qs")(x)
+        k = nn.Dense(self.d_model, name="w_ks")(x)
+        v = nn.Dense(self.d_model, name="w_vs")(x)
+
+        def heads(t):
+            return t.reshape(B, T, self.n_head, d_head)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d_head)
+        logits = jnp.where(attn_mask[:, None, :, :], _NEG_INF, logits)
+        attn = nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, self.d_model)
+
+        out = nn.Dense(self.d_model, name="fc")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = nn.LayerNorm(name="layer_norm")(out + x)
+        return out, attn
+
+
+class PositionwiseFeedForward(nn.Module):
+    d_model: int
+    d_inner: int
+    kernel_sizes: tuple = (9, 1)
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool):
+        residual = x
+        out = nn.Conv(
+            self.d_inner, (self.kernel_sizes[0],), padding="SAME", name="w_1"
+        )(x)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.d_model, (self.kernel_sizes[1],), padding="SAME", name="w_2"
+        )(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return nn.LayerNorm(name="layer_norm")(out + residual)
+
+
+class FFTBlock(nn.Module):
+    d_model: int
+    d_inner: int
+    n_head: int
+    kernel_sizes: tuple = (9, 1)
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pad_mask: jnp.ndarray,
+        attn_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """pad_mask: [B, T] True at padding; attn_mask: [B, T, T]."""
+        out, attn = MultiHeadAttention(
+            self.n_head, self.d_model, self.dropout, name="slf_attn"
+        )(x, attn_mask, deterministic)
+        out = jnp.where(pad_mask[..., None], 0.0, out)
+        out = PositionwiseFeedForward(
+            self.d_model, self.d_inner, self.kernel_sizes, self.dropout, name="pos_ffn"
+        )(out, deterministic)
+        out = jnp.where(pad_mask[..., None], 0.0, out)
+        return out, attn
+
+
+class TextEncoder(nn.Module):
+    """Phoneme embedding + sinusoid positions + FFT-block stack
+    (reference transformer/Models.py:33-84)."""
+
+    vocab_size: int
+    max_seq_len: int
+    d_model: int = 256
+    n_layers: int = 2
+    n_head: int = 4
+    d_inner: int = 1024
+    kernel_sizes: tuple = (9, 1)
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, src_seq: jnp.ndarray, src_mask: jnp.ndarray, deterministic=True):
+        """src_seq: [B, L] int ids; src_mask: [B, L] True at padding."""
+        emb_table = self.param(
+            "src_word_emb",
+            nn.initializers.normal(stddev=1.0),
+            (self.vocab_size, self.d_model),
+        )
+        # padding_idx=0 contract: row 0 is zero (reference nn.Embedding pad)
+        emb_table = jnp.asarray(emb_table).at[0].set(0.0)
+        x = emb_table[src_seq]
+
+        pos = jnp.asarray(sinusoid_table(self.max_seq_len + 1, self.d_model))
+        x = x + pos[None, : x.shape[1], :]
+
+        attn_mask = jnp.repeat(src_mask[:, None, :], x.shape[1], axis=1)
+        for i in range(self.n_layers):
+            x, _ = FFTBlock(
+                self.d_model,
+                self.d_inner,
+                self.n_head,
+                self.kernel_sizes,
+                self.dropout,
+                name=f"layer_{i}",
+            )(x, src_mask, attn_mask, deterministic)
+        return x
+
+
+class MelDecoder(nn.Module):
+    """FFT-block decoder over frame-domain encodings
+    (reference transformer/Models.py:87-135; adds positions to input)."""
+
+    max_seq_len: int
+    d_model: int = 256
+    n_layers: int = 4
+    n_head: int = 4
+    d_inner: int = 1024
+    kernel_sizes: tuple = (9, 1)
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mel_mask: jnp.ndarray, deterministic=True):
+        pos = jnp.asarray(sinusoid_table(self.max_seq_len + 1, self.d_model))
+        T = x.shape[1]
+        # Reference table has max_seq_len+1 rows; for longer frame axes it
+        # regenerates on the fly (Models.py:120-122). Static shapes: build
+        # the table to cover the padded frame axis directly.
+        if T > self.max_seq_len + 1:
+            pos = jnp.asarray(sinusoid_table(T, self.d_model))
+        x = x + pos[None, :T, :]
+
+        attn_mask = jnp.repeat(mel_mask[:, None, :], T, axis=1)
+        for i in range(self.n_layers):
+            x, _ = FFTBlock(
+                self.d_model,
+                self.d_inner,
+                self.n_head,
+                self.kernel_sizes,
+                self.dropout,
+                name=f"layer_{i}",
+            )(x, mel_mask, attn_mask, deterministic)
+        return x
+
+
+class PostNet(nn.Module):
+    """Tacotron2 PostNet (reference transformer/Layers.py:67-130):
+    5x [Conv1d k5 → BatchNorm → tanh (except last) → dropout 0.5]."""
+
+    n_mel_channels: int = 80
+    embedding_dim: int = 512
+    kernel_size: int = 5
+    n_convolutions: int = 5
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, deterministic: bool = True, train: bool = False):
+        x = mel
+        for i in range(self.n_convolutions):
+            is_last = i == self.n_convolutions - 1
+            features = self.n_mel_channels if is_last else self.embedding_dim
+            x = nn.Conv(
+                features, (self.kernel_size,), padding="SAME", name=f"conv_{i}"
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name=f"bn_{i}"
+            )(x)
+            if not is_last:
+                x = jnp.tanh(x)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
