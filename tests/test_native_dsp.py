@@ -1,0 +1,101 @@
+"""Native C++ f0 tracker (native/styler_dsp.cpp) vs the numpy golden model."""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from styler_tpu.dsp.pitch import _frame_f0_numpy, _load_native, track_f0
+
+SR, HOP = 22050, 256
+
+
+def _synthetic_voiced(sr=SR, seconds=1.2, f0_hz=150.0, seed=0):
+    t = np.arange(int(sr * seconds)) / sr
+    rng = np.random.default_rng(seed)
+    # harmonic-rich signal with an unvoiced (noise) gap in the middle
+    wav = sum(
+        (0.6 / (k + 1)) * np.sin(2 * np.pi * f0_hz * (k + 1) * t) for k in range(4)
+    )
+    gap = slice(int(0.5 * sr), int(0.7 * sr))
+    wav[gap] = 0.05 * rng.standard_normal(gap.stop - gap.start)
+    return (wav * 0.5).astype(np.float32)
+
+
+needs_native = pytest.mark.skipif(
+    _load_native() is None, reason="native library not built"
+)
+
+
+@needs_native
+def test_native_matches_numpy_clean():
+    wav = _synthetic_voiced()
+    f_native = track_f0(wav, SR, HOP, backend=None)
+    f_numpy = _frame_f0_numpy(wav, SR, HOP, 71.0, 797.9, robust=False)
+    assert f_native.shape == f_numpy.shape
+    both_voiced = (f_native > 0) & (f_numpy > 0)
+    # voicing decisions agree on ≥95% of frames; voiced values within 2 Hz
+    agree = (f_native > 0) == (f_numpy > 0)
+    assert agree.mean() > 0.95, f"voicing agreement {agree.mean():.3f}"
+    assert np.abs(f_native[both_voiced] - f_numpy[both_voiced]).max() < 2.0
+
+
+@needs_native
+def test_native_matches_numpy_robust():
+    rng = np.random.default_rng(3)
+    wav = _synthetic_voiced(f0_hz=220.0)
+    wav = wav + 0.1 * rng.standard_normal(len(wav)).astype(np.float32)
+    f_native = track_f0(wav, SR, HOP, robust=True)
+    f_numpy = _frame_f0_numpy(wav, SR, HOP, 71.0, 797.9, robust=True)
+    both = (f_native > 0) & (f_numpy > 0)
+    assert ((f_native > 0) == (f_numpy > 0)).mean() > 0.9
+    if both.any():
+        assert np.abs(f_native[both] - f_numpy[both]).max() < 2.0
+
+
+@needs_native
+def test_native_finds_true_pitch():
+    for hz in (110.0, 150.0, 320.0):
+        wav = _synthetic_voiced(f0_hz=hz)
+        f = track_f0(wav, SR, HOP)
+        voiced = f[f > 0]
+        assert len(voiced) > 20
+        assert abs(np.median(voiced) - hz) < 3.0, f"{hz=} got {np.median(voiced)}"
+
+
+@needs_native
+def test_native_batch_api():
+    lib = _load_native()
+    lib.styler_track_f0_batch.restype = ctypes.c_int
+    wavs = [_synthetic_voiced(f0_hz=hz, seconds=0.8) for hz in (120.0, 240.0)]
+    lengths = np.array([len(w) for w in wavs], dtype=np.int32)
+    cat = np.concatenate(wavs).astype(np.float32)
+    n_out = int(sum(len(w) // HOP + 1 for w in wavs))
+    out = np.zeros(n_out, dtype=np.float32)
+    rc = lib.styler_track_f0_batch(
+        cat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        2, SR, HOP,
+        ctypes.c_float(71.0), ctypes.c_float(797.9),
+        0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    assert rc == 0
+    off = 0
+    for w in wavs:
+        nf = len(w) // HOP + 1
+        single = track_f0(w, SR, HOP)
+        chunk = out[off: off + nf]
+        both = (chunk > 0) & (single > 0)
+        assert ((chunk > 0) == (single > 0)).mean() > 0.95
+        assert np.abs(chunk[both] - single[both]).max() < 1.0
+        off += nf
+
+
+@needs_native
+def test_native_rejects_bad_args():
+    lib = _load_native()
+    rc = lib.styler_track_f0(None, 0, SR, HOP, ctypes.c_float(71.0),
+                             ctypes.c_float(797.9), 0, None)
+    assert rc == 1
