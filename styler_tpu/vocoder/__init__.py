@@ -1,0 +1,5 @@
+from styler_tpu.vocoder.hifigan import (  # noqa: F401
+    Generator,
+    HiFiGANConfig,
+    vocode,
+)

@@ -1,0 +1,145 @@
+"""HiFi-GAN V1 generator (inference vocoder), JAX/Flax.
+
+Parity target: reference hifigan/models.py:112-174 (Generator with
+ResBlock1) + hifigan/config.json (universal V1: upsample rates 8,8,2,2,
+kernels 16,16,4,4, 512 initial channels, resblock kernels 3/7/11 with
+dilations 1/3/5). Inference-only: weight norm is folded at import
+(reference utils.py:261 removes it before use).
+
+TPU-first: channels-last layout; transposed convs via lax.conv with
+input dilation (bit-compatible with torch ConvTranspose1d so ported
+weights reproduce the reference waveform); whole generator is one jitted
+graph colocated with the acoustic model — no host round-trip between mel
+and waveform (the north-star requirement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+LRELU_SLOPE = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class HiFiGANConfig:
+    """Mirror of hifigan/config.json (universal V1)."""
+
+    resblock: str = "1"
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
+        (1, 3, 5),
+        (1, 3, 5),
+        (1, 3, 5),
+    )
+    num_mels: int = 80
+    sampling_rate: int = 22050
+
+
+class ConvTranspose1dTorch(nn.Module):
+    """ConvTranspose1d with torch semantics: stride u, padding (k-u)//2.
+
+    Implemented as a regular conv over an input dilated by the stride
+    (lhs_dilation), with the kernel flipped — numerically identical to
+    torch, so imported weights need only a layout transpose.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, u = self.kernel_size, self.stride
+        p = (k - u) // 2
+        # kernel stored flipped+transposed at import: [k, in, out]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(0.01),
+            (k, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = k - 1 - p
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(u,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return out + bias
+
+
+class ResBlock1(nn.Module):
+    """Multi-dilation residual block (reference hifigan/models.py:28-75):
+    x += c2(lrelu(c1(lrelu(x)))) for each dilation."""
+
+    channels: int
+    kernel_size: int
+    dilations: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = nn.Conv(
+                self.channels,
+                (self.kernel_size,),
+                kernel_dilation=(d,),
+                padding="SAME",
+                name=f"convs1_{i}",
+            )(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = nn.Conv(
+                self.channels,
+                (self.kernel_size,),
+                kernel_dilation=(1,),
+                padding="SAME",
+                name=f"convs2_{i}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+class Generator(nn.Module):
+    config: HiFiGANConfig = HiFiGANConfig()
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """mel: [B, T, 80] (log-mel, channels-last) -> wav [B, T*256]."""
+        cfg = self.config
+        x = nn.Conv(
+            cfg.upsample_initial_channel, (7,), padding="SAME", name="conv_pre"
+        )(mel)
+
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        for i, (u, k) in enumerate(
+            zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
+        ):
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = ConvTranspose1dTorch(ch, k, u, name=f"ups_{i}")(x)
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                block = ResBlock1(ch, rk, tuple(rd), name=f"resblocks_{i}_{j}")(x)
+                xs = block if xs is None else xs + block
+            x = xs / num_kernels
+
+        x = nn.leaky_relu(x)  # default slope 0.01 (reference models.py:161 F.leaky_relu)
+        x = nn.Conv(1, (7,), padding="SAME", name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+def vocode(generator: Generator, variables, mel: jnp.ndarray) -> jnp.ndarray:
+    """Jitted mel -> waveform. mel: [B, T, 80] channels-last."""
+    return jax.jit(lambda v, m: generator.apply(v, m))(variables, mel)
