@@ -1,0 +1,306 @@
+"""VCTK offline preprocessing (reference data/vctk.py + preprocess.py).
+
+Same on-disk contract: per utterance 6 npy files + filelists + stat.txt;
+train/val split = first shuffled utterance per speaker → val, seeded 9420
+(reference vctk.py:56-132). Differences are implementation-level only:
+
+- mel/energy come from the jitted JAX MelFrontend instead of torch STFT,
+- f0 from styler_tpu.dsp.pitch (native C++ backend when built),
+- speaker embeddings from the JAX ResCNN port when the Keras ``.h5``
+  checkpoint is available; otherwise a deterministic fallback embedding
+  is written with a warning so the pipeline stays runnable end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from styler_tpu.core.config import Config
+from styler_tpu.data.audio_io import read_wav_int
+from styler_tpu.data.textgrid import alignment_from_file
+from styler_tpu.dsp.features import energy_rescaling_np, f0_normalization_np
+from styler_tpu.dsp.mel import MelFrontend
+from styler_tpu.dsp.pitch import get_f0
+from styler_tpu.textproc.cleaners import CLEANERS
+
+SUBDIRS = (
+    "mel_clean",
+    "mel_aug",
+    "alignment",
+    "f0",
+    "f0_norm",
+    "f0_norm_aug",
+    "energy",
+    "energy_0to1",
+    "energy_0to1_aug",
+    "spker_embed",
+)
+
+
+def ensure_dirs(out_dir: str) -> None:
+    for d in SUBDIRS:
+        os.makedirs(os.path.join(out_dir, d), exist_ok=True)
+
+
+def prepare_align(in_dir: str, config: Config) -> None:
+    """Clean transcripts in place (reference vctk.py:27-40)."""
+    for dirpath, _, filenames in os.walk(in_dir):
+        for file in filenames:
+            if not file.endswith(".txt"):
+                continue
+            path = os.path.join(dirpath, file)
+            with open(path, encoding="utf-8") as f:
+                lines = f.readlines()
+            text = lines[0]
+            for name in config.text_cleaners:
+                text = CLEANERS[name](text)
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(text)
+
+
+def mfa_align(in_dir: str, out_dir: str, mfa_path: str = "./montreal-forced-aligner") -> str:
+    """Shell out to the Montreal Forced Aligner (reference utils.py:25-37).
+    Kept as an external data-prep tool exactly like the reference."""
+    import subprocess
+
+    mfa_out_dir = os.path.join(out_dir, "TextGrid")
+    cmd = [
+        os.path.join(mfa_path, "bin", "mfa_align"),
+        in_dir,
+        os.path.join(mfa_path, "pretrained_models", "librispeech-lexicon.txt"),
+        "english",
+        mfa_out_dir,
+        "-j",
+        "8",
+    ]
+    print(" ".join(cmd))
+    subprocess.run(cmd, check=False)
+    return mfa_out_dir
+
+
+class SpeakerEmbedder:
+    """JAX ResCNN speaker embedder with graceful fallback."""
+
+    def __init__(self, config: Config):
+        self.config = config
+        self.model = None
+        self.variables = None
+        h5 = config.speaker_embedder_dir
+        if os.path.exists(h5):
+            from styler_tpu.speaker import ResCNN, import_deepspeaker_h5
+
+            self.model = ResCNN()
+            self.variables = import_deepspeaker_h5(h5)
+        else:
+            print(
+                f"[vctk] speaker embedder checkpoint not found at {h5}; "
+                "writing deterministic fallback embeddings"
+            )
+
+    def embed_wav(self, audio: np.ndarray, rng=None) -> np.ndarray:
+        if self.model is None:
+            # deterministic pseudo-embedding from coarse spectral stats
+            h = np.fft.rfft(audio[: 2**15].astype(np.float64), 2**15)
+            mag = np.abs(h)[:512]
+            v = mag / (np.linalg.norm(mag) + 1e-9)
+            return v.astype(np.float32)[None, :]
+        import jax.numpy as jnp
+
+        from styler_tpu.speaker import speaker_features_from_audio
+
+        feats = speaker_features_from_audio(
+            audio,
+            self.config.sampling_rate,
+            self.config.win_length,
+            rng=rng,
+        )
+        emb = self.model.apply(self.variables, jnp.asarray(feats[None]))
+        return np.asarray(emb)
+
+
+def process_utterance(
+    in_dir: str,
+    out_dir: str,
+    dirname,
+    basename: str,
+    config: Config,
+    frontend: MelFrontend,
+) -> Optional[Tuple[str, float, float, float, float, int]]:
+    """One utterance → 6 npy files (reference vctk.py:167-224)."""
+    wav_path = os.path.join(in_dir, str(dirname), f"{basename}.wav")
+    tg_path = os.path.join(out_dir, "TextGrid", str(dirname), f"{basename}.TextGrid")
+    if not os.path.exists(tg_path):
+        return None
+
+    phone, duration, start, end = alignment_from_file(
+        tg_path, config.sampling_rate, config.hop_length
+    )
+    text = "{" + "}{".join(phone) + "}"
+    text = text.replace("{$}", " ").replace("}{", " ")
+    if start >= end:
+        return None
+
+    sr, wav = read_wav_int(wav_path)
+    wav = wav[
+        int(config.sampling_rate * start): int(config.sampling_rate * end)
+    ].astype(np.float32)
+
+    total = sum(duration)
+    f0 = get_f0(wav, config, duration)
+
+    mel, energy = frontend(np.asarray(wav) / config.max_wav_value)
+    mel = np.asarray(mel).astype(np.float32)[:, :total]
+    energy = np.asarray(energy).astype(np.float32)[:total]
+    if mel.shape[1] >= config.max_seq_len:
+        return None
+
+    ds = config.dataset
+    np.save(os.path.join(out_dir, "alignment", f"{ds}-ali-{basename}.npy"),
+            np.asarray(duration), allow_pickle=False)
+    np.save(os.path.join(out_dir, "f0", f"{ds}-f0-{basename}.npy"), f0,
+            allow_pickle=False)
+    np.save(os.path.join(out_dir, "f0_norm", f"{ds}-f0-{basename}.npy"),
+            f0_normalization_np(f0), allow_pickle=False)
+    np.save(os.path.join(out_dir, "energy", f"{ds}-energy-{basename}.npy"),
+            energy, allow_pickle=False)
+    np.save(os.path.join(out_dir, "energy_0to1", f"{ds}-energy-{basename}.npy"),
+            energy_rescaling_np(energy, config.energy_min, config.energy_max),
+            allow_pickle=False)
+    np.save(os.path.join(out_dir, "mel_clean", f"{ds}-mel-{basename}.npy"),
+            mel.T, allow_pickle=False)
+
+    voiced = [f for f in f0 if f != 0]
+    f0_min = min(voiced) if voiced else 0.0
+    return (
+        "|".join([basename, text]),
+        float(max(f0)) if len(f0) else 0.0,
+        float(f0_min),
+        float(max(energy)) if len(energy) else 0.0,
+        float(min(energy)) if len(energy) else 0.0,
+        mel.shape[1],
+    )
+
+
+def get_unaligned_wavs(out_dir: str) -> List[str]:
+    """Parse MFA bookkeeping files (reference vctk.py:42-53)."""
+    unaligned: List[str] = []
+    err_path = os.path.join(out_dir, "output_errors.txt")
+    if os.path.isfile(err_path):
+        with open(err_path, encoding="utf-8") as f:
+            blocks = f.read().split(":\nTraceback")
+            unaligned += [b.split("\n")[-1] for b in blocks if "CB" in b]
+    una_path = os.path.join(out_dir, "unaligned.txt")
+    if os.path.isfile(una_path):
+        with open(una_path, encoding="utf-8") as f:
+            for line in f:
+                unaligned.append(line.strip().split(" ")[0].split("\t")[0])
+    return unaligned
+
+
+def build_from_path(in_dir: str, out_dir: str, config: Config):
+    """Full VCTK build (reference vctk.py:56-165)."""
+    random.seed(9420)
+    ensure_dirs(out_dir)
+    frontend = MelFrontend(config)
+    embedder = SpeakerEmbedder(config)
+
+    train: List[str] = []
+    val: List[str] = []
+    f0_max = energy_max = 0.0
+    f0_min = energy_min = 1e6
+    n_frames = 0
+    max_text_len = 0
+    max_mel_len = 0
+
+    spkers = sorted(os.listdir(in_dir))
+    print(f"Total Speakers : {len(spkers)}")
+    unaligned = set(get_unaligned_wavs(out_dir))
+    dirty: List[str] = []
+    errors: List[str] = []
+
+    spk_dir = os.path.join(out_dir, "spker_embed")
+    if len(os.listdir(spk_dir)) != len(spkers):
+        print("Speaker embedding...")
+        for spker in spkers:
+            embs = []
+            for dirpath, _, filenames in os.walk(os.path.join(in_dir, spker)):
+                for f in filenames:
+                    if f.endswith(".wav") and f[:-4] not in unaligned:
+                        from styler_tpu.data.audio_io import read_wav
+
+                        audio, _ = read_wav(os.path.join(dirpath, f))
+                        embs.append(embedder.embed_wav(audio))
+            if embs:
+                np.save(
+                    os.path.join(spk_dir, f"{config.dataset}-spker_embed-{spker}.npy"),
+                    np.mean(embs, axis=0),
+                    allow_pickle=False,
+                )
+
+    print("Process utterances...")
+    for spker in spkers:
+        file_paths = []
+        for dirpath, _, filenames in os.walk(os.path.join(in_dir, spker)):
+            for f in filenames:
+                if f.endswith(".txt") and f[:-4] not in unaligned:
+                    file_paths.append((Path(dirpath).relative_to(in_dir), f))
+        random.shuffle(file_paths)
+        for i, (subdir, filename) in enumerate(file_paths):
+            basename = filename[:-4]
+            try:
+                ret = process_utterance(
+                    in_dir, out_dir, subdir, basename, config, frontend
+                )
+            except Exception:
+                errors.append(basename)
+                continue
+            if ret is None:
+                dirty.append(basename)
+                continue
+            info, f_max, f_min, e_max, e_min, n = ret
+            (val if i == 0 else train).append(info)
+            f0_max = max(f0_max, f_max)
+            f0_min = min(f0_min, f_min) if f_min > 0 else f0_min
+            energy_max = max(energy_max, e_max)
+            energy_min = min(energy_min, e_min)
+            n_frames += n
+            max_text_len = max(max_text_len, len(info.split("|")[-1]))
+            max_mel_len = max(max_mel_len, n)
+
+    stats = [
+        f"Total files: {len(train) + len(val)}",
+        f"Total time: {n_frames * config.hop_length / config.sampling_rate / 3600} hours",
+        f"Total frames: {n_frames}",
+        f"Min F0: {f0_min}",
+        f"Max F0: {f0_max}",
+        f"Min energy: {energy_min}",
+        f"Max energy: {energy_max}",
+        f"Max text len: {max_text_len}",
+        f"Max mel len: {max_mel_len}",
+        f"Total unaligned wavs: {len(unaligned)}",
+        f"Total dirty wavs: {len(dirty)}",
+        f"Total error wavs: {len(errors)}",
+    ]
+    with open(os.path.join(out_dir, "stat.txt"), "w", encoding="utf-8") as f:
+        for s in stats:
+            print(s)
+            f.write(s + "\n")
+
+    for data, name in ((dirty, "dirty"), (errors, "error")):
+        with open(os.path.join(out_dir, f"{name}.txt"), "w", encoding="utf-8") as f:
+            for d in data:
+                f.write(d + "\n")
+
+    return train, val
+
+
+def write_metadata(train: List[str], val: List[str], out_dir: str) -> None:
+    with open(os.path.join(out_dir, "train.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(train) + ("\n" if train else ""))
+    with open(os.path.join(out_dir, "val.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(val) + ("\n" if val else ""))

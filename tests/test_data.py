@@ -1,0 +1,182 @@
+"""Data-layer tests: TextGrid parsing/alignment, SNR mixing golden math,
+bucketed batching invariants, f0 tracker sanity, end-to-end preprocessing
+on a synthetic mini-corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from styler_tpu.core.config import default_config
+from styler_tpu.data.noise_mixer import snr_mixer
+from styler_tpu.data.textgrid import alignment_from_file, read_textgrid
+from styler_tpu.dsp.pitch import track_f0
+
+cfg = default_config()
+
+TG_SAMPLE = """File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 2.0
+tiers? <exists>
+size = 1
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 2.0
+        intervals: size = 5
+        intervals [1]:
+            xmin = 0.0
+            xmax = 0.25
+            text = "sil"
+        intervals [2]:
+            xmin = 0.25
+            xmax = 0.5
+            text = "HH"
+        intervals [3]:
+            xmin = 0.5
+            xmax = 0.75
+            text = "sp"
+        intervals [4]:
+            xmin = 0.75
+            xmax = 1.0
+            text = "AY1"
+        intervals [5]:
+            xmin = 1.0
+            xmax = 2.0
+            text = "sil"
+"""
+
+
+def test_textgrid_parse_and_alignment(tmp_path):
+    p = tmp_path / "x.TextGrid"
+    p.write_text(TG_SAMPLE)
+    tiers = read_textgrid(str(p))
+    assert "phones" in tiers and len(tiers["phones"].intervals) == 5
+
+    phones, durations, start, end = alignment_from_file(str(p), 22050, 256)
+    # leading/trailing sil trimmed; internal sp kept (reference utils.py:40-70)
+    assert phones == ["HH", "sp", "AY1"]
+    assert start == 0.25 and end == 1.0
+    # durations: round(e*sr/hop) - round(s*sr/hop)
+    golden = [
+        round(0.5 * 22050 / 256) - round(0.25 * 22050 / 256),
+        round(0.75 * 22050 / 256) - round(0.5 * 22050 / 256),
+        round(1.0 * 22050 / 256) - round(0.75 * 22050 / 256),
+    ]
+    assert durations == golden
+
+
+def test_snr_mixer_achieves_target_snr(rng):
+    clean = rng.standard_normal(22050).astype(np.float64)
+    noise = rng.standard_normal(22050).astype(np.float64)
+    for snr in (5, 15, 25):
+        c, n, mixed = snr_mixer(clean, noise, snr)
+        got_snr = 10 * np.log10((c**2).mean() / (n**2).mean())
+        # Reference quirk (noise_mixer.py:85): the sqrt in noisescalar
+        # makes the achieved POWER SNR equal snr/2 dB. We reproduce the
+        # reference bit-for-bit, so assert its actual behavior.
+        np.testing.assert_allclose(got_snr, snr / 2, atol=0.01)
+        np.testing.assert_allclose(mixed, c + n)
+        # clean normalized to -25 dBFS RMS
+        np.testing.assert_allclose(
+            20 * np.log10((c**2).mean() ** 0.5), -25, atol=0.01
+        )
+
+
+def test_f0_tracker_on_synthetic_tone():
+    sr, hop = 22050, 256
+    t = np.arange(sr) / sr
+    for hz in (110.0, 220.0, 440.0):
+        x = 0.5 * np.sin(2 * np.pi * hz * t)
+        f0 = track_f0(x, sr, hop, backend="numpy")
+        assert f0.shape == (sr // hop + 1,)
+        voiced = f0[f0 > 0]
+        assert len(voiced) > 0.8 * len(f0)
+        np.testing.assert_allclose(np.median(voiced), hz, rtol=0.03)
+    # silence: all unvoiced
+    assert (track_f0(np.zeros(sr), sr, hop, backend="numpy") == 0).all()
+
+
+def test_f0_tracker_robust_mode_on_noisy_tone(rng):
+    sr, hop = 22050, 256
+    t = np.arange(sr) / sr
+    x = 0.5 * np.sin(2 * np.pi * 200.0 * t) + 0.15 * rng.standard_normal(sr)
+    f0 = track_f0(x, sr, hop, robust=True, backend="numpy")
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.5 * len(f0)
+    np.testing.assert_allclose(np.median(voiced), 200.0, rtol=0.05)
+
+
+@pytest.fixture
+def mini_corpus(tmp_path, rng):
+    """Synthetic 1-speaker corpus: wav + txt + TextGrid."""
+    from scipy.io import wavfile
+
+    in_dir = tmp_path / "corpus"
+    out_dir = tmp_path / "preprocessed" / "VCTK"
+    (in_dir / "p001").mkdir(parents=True)
+    (out_dir / "TextGrid" / "p001").mkdir(parents=True)
+
+    for i in range(3):
+        base = f"p001_{i:03d}"
+        t = np.arange(22050) / 22050
+        wav = (0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t) * 32767).astype(np.int16)
+        wavfile.write(str(in_dir / "p001" / f"{base}.wav"), 22050, wav)
+        (in_dir / "p001" / f"{base}.txt").write_text("hi\n")
+        (out_dir / "TextGrid" / "p001" / f"{base}.TextGrid").write_text(TG_SAMPLE)
+    return str(in_dir), str(out_dir)
+
+
+def test_vctk_build_and_dataset_roundtrip(mini_corpus, monkeypatch):
+    from styler_tpu.data.vctk import build_from_path, write_metadata
+
+    in_dir, out_dir = mini_corpus
+    config = cfg
+    train, val = build_from_path(in_dir, out_dir, config)
+    assert len(train) == 2 and len(val) == 1
+    write_metadata(train, val, out_dir)
+    assert os.path.isfile(os.path.join(out_dir, "stat.txt"))
+
+    # aug features: mix with "noise" = another synthetic wav dir
+    noise_dir = os.path.join(os.path.dirname(out_dir), "noise")
+    os.makedirs(noise_dir, exist_ok=True)
+    from scipy.io import wavfile
+
+    nz = (np.random.default_rng(1).standard_normal(30000) * 3000).astype(np.int16)
+    wavfile.write(os.path.join(noise_dir, "nz.wav"), 22050, nz)
+    wavfile.write(os.path.join(noise_dir, "nz2.wav"), 22050, nz[::-1].copy())
+
+    from styler_tpu.data.noise_mixer import build_from_path as build_noisy
+
+    n = build_noisy(in_dir, out_dir, config, noise_dir=noise_dir)
+    assert n == 3
+
+    # dataset + loader roundtrip with the real on-disk layout
+    import dataclasses
+
+    config2 = config.replace(preprocessed_basedir=os.path.dirname(out_dir))
+    monkeypatch.setattr(
+        type(config2),
+        "preprocessed_path",
+        property(lambda self: out_dir),
+    )
+    from styler_tpu.data.dataset import Dataset, batch_iterator
+
+    ds = Dataset(config2, "train.txt")
+    assert len(ds) == 2
+    sample = ds[0]
+    assert sample["mel_target"].shape[1] == 80
+    assert sample["mel_target"].shape[0] == sample["D"].sum()
+    assert sample["mel_aug"].shape == sample["mel_target"].shape
+
+    small = config2.replace(batch_size=1)
+    batches = list(batch_iterator(ds, small, shuffle=False))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["src_seq"].shape[1] in small.src_buckets
+    assert b["mel_target"].shape[1] in small.mel_buckets
+    assert (b["log_d_target"] >= 0).all()
