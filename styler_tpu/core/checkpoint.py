@@ -1,0 +1,85 @@
+"""Checkpoint save/restore (Orbax) + reference-checkpoint loading.
+
+Replaces the reference's ``torch.save({'model','optimizer'})`` every 10k
+steps (reference train.py:221-224, hparams.py:109). Layout:
+
+    <ckpt_dir>/<step>/   — orbax composite: params, batch_stats, opt_state
+
+``load_reference_checkpoint`` ingests the reference's
+``checkpoint_<step>.pth.tar`` (DataParallel ``module.`` prefix) through
+the torch importer for parity work.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state) -> None:
+    path = os.path.abspath(os.path.join(ckpt_dir, str(step)))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(ckpt_dir: str, step: int, state):
+    """Restore into an existing (abstract or concrete) train state."""
+    path = os.path.abspath(os.path.join(ckpt_dir, str(step)))
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    restored = ckptr.restore(path, target=jax.tree_util.tree_map(
+        ocp.utils.to_shape_dtype_struct, target
+    ))
+    return state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def load_reference_checkpoint(path: str, config) -> Tuple[Any, Any]:
+    """Load a reference ``checkpoint_<step>.pth.tar`` -> (params, batch_stats)."""
+    import torch
+
+    from styler_tpu.core.import_torch import import_styler_state
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt["model"] if "model" in ckpt else ckpt
+    return import_styler_state(state, config)
+
+
+def load_reference_hifigan(path: str):
+    """Load the reference HiFi-GAN ``generator_universal.pth.tar`` -> params."""
+    import torch
+
+    from styler_tpu.core.import_torch import import_hifigan_state
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt["generator"] if "generator" in ckpt else ckpt
+    return import_hifigan_state(state)

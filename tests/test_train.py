@@ -1,0 +1,103 @@
+"""Training tests: Noam schedule golden values, loss composition,
+single-step smoke, overfit-tiny-batch smoke, and the 8-virtual-device
+data-parallel path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from styler_tpu.core.config import default_config
+from styler_tpu.train import (
+    create_train_state,
+    eval_step,
+    make_jitted_train_step,
+    noam_schedule,
+    nll_loss,
+)
+
+cfg = default_config()
+
+
+def test_noam_schedule_golden():
+    """Golden values from the reference formula (optimizer.py:21-32):
+    lr = d_model^-0.5 * min(step^-0.5, warmup^-1.5 * step)."""
+    sched = noam_schedule(256, 4000)
+    for count, step in [(0, 1), (3999, 4000), (559999, 560000)]:
+        golden = 256**-0.5 * min(step**-0.5, 4000**-1.5 * step)
+        np.testing.assert_allclose(float(sched(count)), golden, rtol=1e-6)
+    # warmup peak at step==warmup
+    peak = float(sched(3999))
+    assert float(sched(100)) < peak and float(sched(100000)) < peak
+
+
+def test_nll_loss_matches_torch():
+    import torch
+
+    logp = np.log(np.array([[0.7, 0.3], [0.2, 0.8]], dtype=np.float32))
+    labels = np.array([0, 1])
+    golden = torch.nn.NLLLoss()(torch.from_numpy(logp), torch.from_numpy(labels)).item()
+    got = float(nll_loss(jnp.asarray(logp), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, golden, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def train_setup():
+    from __graft_entry__ import _example_batch
+
+    batch = _example_batch(cfg, B=2, L=12, M=48)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    return model, state, batch
+
+
+def test_single_train_step(train_setup):
+    model, state, batch = train_setup
+    step_fn = make_jitted_train_step(model, cfg, donate=False)
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    for k in (
+        "total",
+        "mel",
+        "mel_postnet",
+        "mel_noisy",
+        "mel_postnet_noisy",
+        "duration",
+        "f0",
+        "energy",
+        "dat_clean",
+        "dat_aug",
+    ):
+        v = float(metrics[k])
+        assert np.isfinite(v), f"{k} not finite"
+    # params actually changed
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_loss_decreases_overfitting_tiny_batch(train_setup):
+    model, state, batch = train_setup
+    step_fn = make_jitted_train_step(model, cfg, donate=False)
+    losses = []
+    rng = jax.random.PRNGKey(2)
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        losses.append(float(metrics["total"]))
+    # Noam warmup means early lr is tiny; require net improvement
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_eval_step(train_setup):
+    model, state, batch = train_setup
+    components = eval_step(model, state, batch, cfg.dat_weight)
+    assert np.isfinite(float(components["total"]))
+
+
+def test_multichip_dryrun_8_devices():
+    from __graft_entry__ import dryrun_multichip
+
+    assert len(jax.devices()) == 8  # conftest virtual CPU mesh
+    dryrun_multichip(8)
