@@ -1,0 +1,137 @@
+"""Synthesis CLI (reference synthesize.py surface).
+
+Flags preserved: --ckpt, --ref_name, --speaker_id, --noisy_input,
+--inspection, --cont --r1 --r2, --duration_control/--pitch_control/
+--energy_control, --version. Outputs wav (+ mel npy) per sentence,
+clean and noisy (Residual Decoding) variants.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="orbax dir or reference .pth.tar")
+    parser.add_argument("--vocoder_ckpt", type=str, default=None,
+                        help="reference generator_universal.pth.tar")
+    parser.add_argument("--ref_name", type=str, default=None)
+    parser.add_argument("--ref_audio_dir", type=str, default=None)
+    parser.add_argument("--ref_tg_dir", type=str, default=None)
+    parser.add_argument("--speaker_id", type=str, default=None)
+    parser.add_argument("--noisy_input", action="store_true")
+    parser.add_argument("--inspection", action="store_true")
+    parser.add_argument("--cont", action="store_true")
+    parser.add_argument("--r1", type=str, default=None)
+    parser.add_argument("--r2", type=str, default=None)
+    parser.add_argument("--duration_control", type=float, default=1.0)
+    parser.add_argument("--pitch_control", type=float, default=1.0)
+    parser.add_argument("--energy_control", type=float, default=1.0)
+    parser.add_argument("--version", type=str, default="")
+    parser.add_argument("--sentence", type=str, default=None,
+                        help="synthesize a single sentence instead of the built-in list")
+    parser.add_argument("--outdir", type=str, default=None)
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from styler_tpu.core.config import default_config
+    from styler_tpu.data.audio_io import audiowrite, read_wav_int
+    from styler_tpu.data.sentences import sentences
+    from styler_tpu.data.textgrid import alignment_from_file
+    from styler_tpu.synthesis import extract_reference_features, load_synthesizer
+
+    cfg = default_config().replace(version=args.version)
+    if args.ref_audio_dir:
+        cfg = cfg.replace(ref_audio_dir=args.ref_audio_dir)
+    if args.ref_tg_dir:
+        cfg = cfg.replace(ref_tg_dir=args.ref_tg_dir)
+
+    synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt)
+    outdir = args.outdir or cfg.test_path()
+    os.makedirs(outdir, exist_ok=True)
+
+    def load_ref(name):
+        wav_path = os.path.join(cfg.ref_audio_dir, name + ".wav")
+        tg_path = os.path.join(cfg.ref_tg_dir, name + ".TextGrid")
+        sr, wav = read_wav_int(wav_path)
+        duration = None
+        if os.path.exists(tg_path):
+            _, duration, start, end = alignment_from_file(
+                tg_path, cfg.sampling_rate, cfg.hop_length
+            )
+            wav = wav[int(cfg.sampling_rate * start): int(cfg.sampling_rate * end)]
+        ref = extract_reference_features(
+            wav.astype(np.float32), cfg, synth.frontend, duration, args.noisy_input
+        )
+        # speaker embedding: precomputed npy by speaker id, else on-the-fly
+        spk = (args.speaker_id or name.split("_")[0])
+        spk_path = os.path.join(
+            cfg.preprocessed_path, "spker_embed",
+            f"{cfg.dataset}-spker_embed-{spk}.npy",
+        )
+        if os.path.exists(spk_path):
+            speaker_embed = np.load(spk_path)
+        else:
+            from styler_tpu.data.vctk import SpeakerEmbedder
+
+            speaker_embed = SpeakerEmbedder(cfg).embed_wav(
+                wav.astype(np.float32) / cfg.max_wav_value
+            )
+        return ref, np.asarray(speaker_embed, dtype=np.float32)
+
+    assert args.ref_name or (args.cont and args.r1 and args.r2), (
+        "need --ref_name, or --cont with --r1/--r2"
+    )
+
+    if args.cont:
+        ref1, spk1 = load_ref(args.r1)
+        ref2, spk2 = load_ref(args.r2)
+        s1 = args.sentence or sentences[0]
+        s2 = args.sentence or sentences[1]
+        t0 = time.perf_counter()
+        results = synth.mix_and_match((s1, s2), (ref1, ref2), (spk1, spk2))
+        print(f"mix_and_match 2^5 combos in {time.perf_counter()-t0:.2f}s")
+        for comb, r in results.items():
+            audiowrite(r["wav"], cfg.sampling_rate,
+                       os.path.join(outdir, f"{comb}.wav"))
+            np.save(os.path.join(outdir, f"{comb}.npy"), r["mel"])
+        return
+
+    ref, speaker_embed = load_ref(args.ref_name)
+    todo = [args.sentence] if args.sentence else sentences
+    start_time = time.perf_counter()
+    for i, sentence in enumerate(todo):
+        t0 = time.perf_counter()
+        r = synth.synthesize(
+            sentence, ref, speaker_embed,
+            args.duration_control, args.pitch_control, args.energy_control,
+        )
+        dt = time.perf_counter() - t0
+        stem = f"{i}_{cfg.vocoder}_{sentence[:10].replace(' ', '_')}"
+        audiowrite(r["wav"], cfg.sampling_rate, os.path.join(outdir, stem + ".wav"))
+        audiowrite(r["wav_noisy"], cfg.sampling_rate,
+                   os.path.join(outdir, stem + "_noisy.wav"))
+        np.save(os.path.join(outdir, stem + "_mel.npy"), r["mel"])
+        audio_sec = r["mel_len"] * cfg.hop_length / cfg.sampling_rate
+        print(f"[{i}] {audio_sec:.2f}s audio in {dt:.3f}s (RTF {audio_sec/dt:.1f}x): {sentence}")
+
+        if args.inspection:
+            grid = synth.inspect(sentence, ref, speaker_embed)
+            for title, g in grid.items():
+                audiowrite(
+                    g["wav"], cfg.sampling_rate,
+                    os.path.join(outdir, f"{stem}_inspect_{title.replace('+','')}.wav"),
+                )
+    print(f"Synthesized {len(todo)} in {time.perf_counter()-start_time:.3f}s")
+
+
+if __name__ == "__main__":
+    main()

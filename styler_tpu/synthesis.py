@@ -1,0 +1,342 @@
+"""Synthesis engine: text + reference audio → waveform, fully on-device.
+
+Functional re-expression of the reference CLI paths (synthesize.py):
+- ``synthesize``: per-sentence forward with predicted durations
+  (synthesize.py:344-385),
+- ``inspect``: style-factor ablation grid (infer_inspection, 282-341),
+- ``mix_and_match``: the 2^5 controllability combinations built from two
+  references' explicit encodings (infer_controllability, 208-279) — here
+  the encodings are pure function outputs, not cached module attributes.
+
+The whole text→mel→waveform path is one jitted program per shape bucket;
+the reference crosses host/device per stage (stft .cuda() round trips,
+separate TF session for the embedder).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from styler_tpu.core.config import Config, bucket_for
+from styler_tpu.dsp.features import energy_rescaling_np, f0_normalization_np
+from styler_tpu.dsp.mel import MelFrontend
+from styler_tpu.dsp.pitch import get_f0, get_f0_noisy
+from styler_tpu.models import STYLER
+from styler_tpu.textproc import G2p, text_to_sequence, to_phoneme_string
+from styler_tpu.vocoder import Generator
+
+
+@dataclasses.dataclass
+class ReferenceFeatures:
+    """Frame-domain features of a style reference audio."""
+
+    mel: np.ndarray  # [M, 80]
+    f0_norm: np.ndarray  # [M]
+    energy01: np.ndarray  # [M]
+    mel_len: int
+
+
+def extract_reference_features(
+    wav: np.ndarray,
+    config: Config,
+    frontend: MelFrontend,
+    duration: Optional[list] = None,
+    noisy: bool = False,
+) -> ReferenceFeatures:
+    """Reference wav (int16-scaled float) -> model inputs
+    (reference dataset.py:58-71 + synthesize.py:420-441)."""
+    f0 = (get_f0_noisy if noisy else get_f0)(wav, config, duration)
+    mel, energy = frontend(np.asarray(wav, dtype=np.float32) / config.max_wav_value)
+    total = sum(duration) if duration is not None else np.asarray(mel).shape[1]
+    mel = np.asarray(mel).astype(np.float32)[:, :total].T
+    energy = np.asarray(energy).astype(np.float32)[:total]
+    n = min(len(f0), mel.shape[0], len(energy))
+    return ReferenceFeatures(
+        mel=mel[:n],
+        f0_norm=f0_normalization_np(f0[:n]).astype(np.float32),
+        energy01=energy_rescaling_np(
+            energy[:n], config.energy_min, config.energy_max
+        ).astype(np.float32),
+        mel_len=n,
+    )
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        config: Config,
+        params,
+        batch_stats,
+        vocoder_params=None,
+    ):
+        self.config = config
+        self.model = STYLER(config)
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self.frontend = MelFrontend(config)
+        self.g2p = G2p()
+        self.generator = Generator()
+        if vocoder_params is None:
+            self.vocoder_variables = self.generator.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 8, config.n_mel_channels))
+            )
+        else:
+            self.vocoder_variables = {"params": vocoder_params}
+
+    # ------------------------------------------------------------------
+
+    def text_to_ids(self, sentence: str) -> np.ndarray:
+        phoneme_str = to_phoneme_string(sentence, self.g2p)
+        return np.asarray(
+            text_to_sequence(phoneme_str, list(self.config.text_cleaners)),
+            dtype=np.int32,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self", "max_mel_len"))
+    def _forward(
+        self,
+        src_seq,
+        src_len,
+        mel,
+        f0_norm,
+        energy01,
+        mel_len,
+        speaker_embed,
+        d_control,
+        p_control,
+        e_control,
+        max_mel_len,
+    ):
+        out = self.model.apply(
+            self.variables,
+            src_seq=src_seq,
+            mel_target=mel,
+            mel_aug=mel,
+            p_norm=f0_norm,
+            e_input=energy01,
+            src_len=src_len,
+            mel_len=mel_len,
+            max_src_len=src_seq.shape[1],
+            max_mel_len=max_mel_len,
+            speaker_embed=speaker_embed,
+            d_control=d_control,
+            p_control=p_control,
+            e_control=e_control,
+        )
+        wav_clean = self.generator.apply(self.vocoder_variables, out.mel_postnet)
+        wav_noisy = self.generator.apply(
+            self.vocoder_variables, out.mel_postnet_noisy
+        )
+        return out, wav_clean, wav_noisy
+
+    def synthesize(
+        self,
+        sentence: str,
+        ref: ReferenceFeatures,
+        speaker_embed: np.ndarray,
+        d_control: float = 1.0,
+        p_control: float = 1.0,
+        e_control: float = 1.0,
+    ) -> Dict:
+        """One sentence with one reference → mels + waveforms + predictions."""
+        cfg = self.config
+        ids = self.text_to_ids(sentence)
+        L = bucket_for(len(ids), cfg.src_buckets)
+        M_in = bucket_for(ref.mel_len, cfg.mel_buckets)
+        M_out = cfg.mel_buckets[-1]
+
+        src_seq = np.zeros((1, L), np.int32)
+        src_seq[0, : len(ids)] = ids
+        mel = np.zeros((1, M_in, cfg.n_mel_channels), np.float32)
+        mel[0, : ref.mel_len] = ref.mel[: ref.mel_len]
+        f0 = np.zeros((1, M_in), np.float32)
+        f0[0, : ref.mel_len] = ref.f0_norm[: ref.mel_len]
+        en = np.zeros((1, M_in), np.float32)
+        en[0, : ref.mel_len] = ref.energy01[: ref.mel_len]
+
+        out, wav_clean, wav_noisy = self._forward(
+            jnp.asarray(src_seq),
+            jnp.asarray([len(ids)], dtype=jnp.int32),
+            jnp.asarray(mel),
+            jnp.asarray(f0),
+            jnp.asarray(en),
+            jnp.asarray([ref.mel_len], dtype=jnp.int32),
+            jnp.asarray(speaker_embed.reshape(1, -1)),
+            float(d_control),
+            float(p_control),
+            float(e_control),
+            M_out,
+        )
+        mel_len = int(out.mel_len[0])
+        n_samples = mel_len * cfg.hop_length
+        return {
+            "mel": np.asarray(out.mel_postnet)[0, :mel_len],
+            "mel_noisy": np.asarray(out.mel_postnet_noisy)[0, :mel_len],
+            "wav": np.asarray(wav_clean)[0, :n_samples],
+            "wav_noisy": np.asarray(wav_noisy)[0, :n_samples],
+            "f0": np.asarray(out.p_prediction)[0, :mel_len],
+            "energy": np.asarray(out.e_prediction)[0, :mel_len],
+            "duration": np.asarray(out.log_d_prediction)[0],
+            "mel_len": mel_len,
+            "encodings": out.encodings,
+            "src_mask": np.asarray(out.src_mask),
+        }
+
+    # ------------------------------------------------------------------
+    # Inspection: style-factor ablations (reference synthesize.py:282-341)
+    # ------------------------------------------------------------------
+
+    def _mix_forward(
+        self, t, p, e, d, s, n, src_mask, max_mel_len, speaker_normalized, noisy
+    ):
+        pieces = self.model.apply(
+            self.variables,
+            t, p, e, d, s, n,
+            jnp.asarray(src_mask),
+            max_mel_len,
+            speaker_normalized,
+            method=lambda m, *a: m.style_modeling.predict_inference(*a),
+        )
+        text_f, pitch_emb, speaker_f, energy_emb, noise_f, log_d, p_pred, e_pred, mel_mask = pieces
+        style_out = text_f + pitch_emb + speaker_f + energy_emb
+        if noisy:
+            style_out = style_out + noise_f
+        _, mel_postnet = self.model.apply(
+            self.variables, style_out, mel_mask, method="decode"
+        )
+        wav = self.generator.apply(self.vocoder_variables, mel_postnet)
+        mel_len = int(np.asarray((~np.asarray(mel_mask)).sum(-1))[0])
+        return {
+            "mel": np.asarray(mel_postnet)[0, :mel_len],
+            "wav": np.asarray(wav)[0, : mel_len * self.config.hop_length],
+            "f0": np.asarray(p_pred)[0, :mel_len],
+            "energy": np.asarray(e_pred)[0, :mel_len],
+            "mel_len": mel_len,
+        }
+
+    def _pitch_up(self, x):
+        return self.model.apply(
+            self.variables, x, method=lambda m, v: m.style_modeling.pitch_linear(v)
+        )
+
+    def inspect(self, sentence: str, ref: ReferenceFeatures, speaker_embed) -> Dict[str, Dict]:
+        """Ablation grid: T, T+D, T+D+P, ..., T+D+P+E+S+N
+        (reference infer_inspection titles)."""
+        base = self.synthesize(sentence, ref, speaker_embed)
+        enc = base["encodings"]
+        t, t_neck = enc["t"], enc["t_neck"]
+        d, s, e, n = enc["d"], enc["s"], enc["e"], enc["n"]
+        p_norm = self._pitch_up(enc["p_down"])
+        p = self._pitch_up(enc["p_down"] + enc["s_down"])
+        src_mask = base["src_mask"]
+        M = self.config.mel_buckets[-1]
+
+        grid = {}
+        combos = [
+            ("T+D+P+E+S+N", t, t_neck + p, t_neck + e, t_neck + d, s, n, False, True),
+            ("T+D+P+E+N", t, t_neck + p_norm, t_neck + e, t_neck + d, s, n, True, True),
+            ("T+D+P+N", t, t_neck + p_norm, t_neck, t_neck + d, s, n, True, True),
+            ("T+D+N", t, t_neck, t_neck, t_neck + d, s, n, True, True),
+            ("T+N", t, t_neck, t_neck, t_neck, s, n, True, True),
+            ("T", t, t_neck, t_neck, t_neck, s, n, True, False),
+            ("T+D", t, t_neck, t_neck, t_neck + d, s, n, True, False),
+            ("T+D+P", t, t_neck + p_norm, t_neck, t_neck + d, s, n, True, False),
+            ("T+D+P+E", t, t_neck + p_norm, t_neck + e, t_neck + d, s, n, True, False),
+            ("T+D+P+E+S", t, t_neck + p, t_neck + e, t_neck + d, s, n, False, False),
+        ]
+        for title, tt, pp, ee, dd, ss, nn, spk_norm, noisy in combos:
+            grid[title] = self._mix_forward(
+                tt, pp, ee, dd, ss, nn, src_mask, M, spk_norm, noisy
+            )
+        return grid
+
+    # ------------------------------------------------------------------
+    # Controllability: 2^5 mix-and-match (reference synthesize.py:208-279)
+    # ------------------------------------------------------------------
+
+    def mix_and_match(
+        self,
+        sentence_by_ref: Tuple[str, str],
+        refs: Tuple[ReferenceFeatures, ReferenceFeatures],
+        speaker_embeds: Tuple[np.ndarray, np.ndarray],
+    ) -> Dict[str, Dict]:
+        """All 2^5 (text, duration, pitch, energy, speaker) source combos.
+
+        comb "abcde": a selects the text (and with it noise/masks),
+        b duration, c pitch, d energy, e speaker — 0=ref1, 1=ref2,
+        matching the reference's create_enc_comb (synthesize.py:239-274).
+        """
+        # encodings of each reference under each text
+        enc = {}
+        for text_idx in (0, 1):
+            for ref_idx in (0, 1):
+                out = self.synthesize(
+                    sentence_by_ref[text_idx], refs[ref_idx], speaker_embeds[ref_idx]
+                )
+                enc[(text_idx, ref_idx)] = out
+
+        M = self.config.mel_buckets[-1]
+        results = {}
+        for comb in range(32):
+            bits = [(comb >> (4 - i)) & 1 for i in range(5)]
+            a, b, c, d_bit, e_bit = bits
+            base = enc[(a, a)]
+            src_mask = base["src_mask"]
+            t = base["encodings"]["t"]
+            t_neck = base["encodings"]["t_neck"]
+            n = base["encodings"]["n"]
+            d = enc[(a, b)]["encodings"]["d"]
+            p_down = enc[(a, c)]["encodings"]["p_down"]
+            e = enc[(a, d_bit)]["encodings"]["e"]
+            s = enc[(a, e_bit)]["encodings"]["s"]
+            s_down_tgt = enc[(a, e_bit)]["encodings"]["s_down"]
+            p_tgt = self._pitch_up(p_down + s_down_tgt)
+            key = "".join(str(x) for x in bits)
+            results[key] = self._mix_forward(
+                t, t_neck + p_tgt, t_neck + e, t_neck + d, s, n,
+                src_mask, M, False, False,
+            )
+        return results
+
+
+def load_synthesizer(
+    config: Config,
+    ckpt_path: Optional[str] = None,
+    vocoder_path: Optional[str] = None,
+) -> Synthesizer:
+    """Build a Synthesizer from a reference ``.pth.tar``, an orbax dir, or
+    fresh random weights."""
+    import jax
+
+    if ckpt_path and ckpt_path.endswith((".pth.tar", ".pth", ".tar")):
+        from styler_tpu.core.checkpoint import load_reference_checkpoint
+
+        params, batch_stats = load_reference_checkpoint(ckpt_path, config)
+    elif ckpt_path and os.path.isdir(ckpt_path):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
+        params, batch_stats = restored["params"], restored["batch_stats"]
+    else:
+        from __graft_entry__ import _example_batch
+
+        model = STYLER(config)
+        variables = model.init(
+            jax.random.PRNGKey(config.seed), **_example_batch(config, with_targets=False)
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+    vocoder_params = None
+    if vocoder_path and os.path.exists(vocoder_path):
+        from styler_tpu.core.checkpoint import load_reference_hifigan
+
+        vocoder_params = load_reference_hifigan(vocoder_path)
+    return Synthesizer(config, params, batch_stats, vocoder_params)
