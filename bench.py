@@ -1,40 +1,36 @@
-"""Benchmark: end-to-end text→waveform synthesis RTF on one chip.
+"""Benchmarks for the BASELINE.md measurement configs.
 
-Prints ONE JSON line:
+Default (no args) prints ONE JSON line — the headline metric:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measures the full flagship pipeline — STYLER acoustic forward (teacher
-durations filling the 1024-frame bucket) + HiFi-GAN vocoder — as a single
-jitted graph on the default device. RTF = seconds of audio synthesized
-per wall-clock second; the driver target is >50x real time per chip
-(BASELINE.md). vs_baseline = RTF / 50.
+`--config` selects the other BASELINE.md configs (each also one line):
+  single      headline: 1 sentence x 1 ref, clean+noisy decode (default)
+  batched     batched synthesis: 16 sentences x refs in one jitted call
+  mix         style mix-and-match: 2^5 recombination decodes
+  preprocess  host+device preprocessing throughput (STFT/mel/energy + f0)
+
+RTF = seconds of audio synthesized per wall-clock second; the driver
+target is >50x real time per chip (BASELINE.md). vs_baseline = RTF / 50.
+The full inference graph runs (no teacher forcing): audio encoding
+(4 BiLSTM branches, Pallas recurrences on TPU), predicted durations →
+length regulation, pitch/energy prediction, clean AND noisy (Residual
+Decoding) decodes, HiFi-GAN on both mels.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
+def _example_batch(cfg, B, L, M, seed=0):
     import jax.numpy as jnp
 
-    from styler_tpu.core.config import default_config
-    from styler_tpu.models import STYLER
-    from styler_tpu.vocoder import Generator
-
-    cfg = default_config()
-    B, L, M = 1, 128, 1024
-    rng = np.random.default_rng(0)
-
-    # Inference path: NO teacher-forced targets, so the full graph runs —
-    # reference audio encoding (4 BiLSTM branches), predicted durations →
-    # length regulation, pitch/energy prediction + embeddings, clean AND
-    # noisy (Residual Decoding) decodes, and HiFi-GAN on both mels.
-    batch = dict(
+    rng = np.random.default_rng(seed)
+    return dict(
         src_seq=jnp.asarray(rng.integers(1, 100, size=(B, L)).astype(np.int32)),
         mel_target=jnp.asarray(rng.standard_normal((B, M, 80)).astype(np.float32)),
         mel_aug=jnp.asarray(rng.standard_normal((B, M, 80)).astype(np.float32)),
@@ -45,11 +41,19 @@ def main():
         speaker_embed=jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32)),
     )
 
+
+def _build(cfg, B, L, M):
+    import jax
+    import jax.numpy as jnp
+
+    from styler_tpu.models import STYLER
+    from styler_tpu.vocoder import Generator
+
+    batch = _example_batch(cfg, B, L, M)
     model = STYLER(cfg)
     variables = model.init(jax.random.PRNGKey(0), **batch)
-
     gen = Generator()
-    gen_vars = gen.init(jax.random.PRNGKey(1), jnp.zeros((B, M, 80)))
+    gen_vars = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
 
     @jax.jit
     def synth(model_vars, voc_vars, batch):
@@ -58,37 +62,139 @@ def main():
         wav_noisy = gen.apply(voc_vars, out.mel_postnet_noisy)
         return wav_clean, wav_noisy
 
-    # compile + warm
-    wav, wav_n = synth(variables, gen_vars, batch)
-    wav.block_until_ready()
+    return synth, variables, gen_vars, batch
 
-    iters = 10
+
+def _time(fn, iters=10):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        wav, wav_n = synth(variables, gen_vars, batch)
-    jax.block_until_ready((wav, wav_n))
-    dt = (time.perf_counter() - t0) / iters
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
 
-    audio_sec = B * M * cfg.hop_length / cfg.sampling_rate
-    rtf = audio_sec / dt
-    mel_frames_per_sec = B * M / dt
 
+def _emit(metric, rtf, detail):
+    import jax
+
+    detail["device"] = str(jax.devices()[0])
     print(
         json.dumps(
             {
-                "metric": "e2e_text_to_waveform_rtf",
+                "metric": metric,
                 "value": round(rtf, 2),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(rtf / 50.0, 3),
-                "detail": {
-                    "mel_frames_per_sec": round(mel_frames_per_sec, 1),
-                    "step_ms": round(dt * 1e3, 2),
-                    "audio_sec_per_call": round(audio_sec, 3),
-                    "device": str(jax.devices()[0]),
-                },
+                "detail": detail,
             }
         )
     )
+
+
+def bench_synth(cfg, B, L, M, metric):
+    synth, variables, gen_vars, batch = _build(cfg, B, L, M)
+    dt = _time(lambda: synth(variables, gen_vars, batch))
+    audio_sec = B * M * cfg.hop_length / cfg.sampling_rate
+    _emit(
+        metric,
+        audio_sec / dt,
+        {
+            "batch": B,
+            "mel_frames_per_sec": round(B * M / dt, 1),
+            "step_ms": round(dt * 1e3, 2),
+            "audio_sec_per_call": round(audio_sec, 3),
+        },
+    )
+
+
+def bench_mix(cfg):
+    """Style mix-and-match: 32 recombination decodes (decoder+postnet+
+    vocoder per combo), the hot loop of the --cont path."""
+    import jax
+    import jax.numpy as jnp
+
+    from styler_tpu.models import STYLER
+    from styler_tpu.vocoder import Generator
+
+    B, L, M = 1, 128, 1024
+    batch = _example_batch(cfg, B, L, M)
+    model = STYLER(cfg)
+    variables = model.init(jax.random.PRNGKey(0), **batch)
+    gen = Generator()
+    gen_vars = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+
+    style = jax.random.normal(jax.random.PRNGKey(2), (32, M, cfg.encoder_hidden))
+    mel_mask = jnp.zeros((32, M), dtype=bool)
+
+    @jax.jit
+    def decode_all(model_vars, voc_vars, style, mel_mask):
+        _, mel_postnet = model.apply(model_vars, style, mel_mask, method="decode")
+        return gen.apply(voc_vars, mel_postnet)
+
+    dt = _time(lambda: decode_all(variables, gen_vars, style, mel_mask))
+    audio_sec = 32 * M * cfg.hop_length / cfg.sampling_rate
+    _emit(
+        "mix_and_match_32combo_rtf",
+        audio_sec / dt,
+        {"combos": 32, "step_ms": round(dt * 1e3, 2)},
+    )
+
+
+def bench_preprocess(cfg):
+    """Preprocessing throughput: jitted STFT/mel/energy + native f0 on
+    synthetic 5 s utterances (BASELINE.md config 5)."""
+    from styler_tpu.dsp import MelFrontend
+    from styler_tpu.dsp.pitch import track_f0
+
+    fe = MelFrontend(cfg)
+    seconds = 5.0
+    n = int(cfg.sampling_rate * seconds)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / cfg.sampling_rate
+    wav = (0.4 * np.sin(2 * np.pi * 160 * t) + 0.05 * rng.standard_normal(n)).astype(
+        np.float32
+    )
+
+    mel, en = fe(wav)  # compile
+    np.asarray(mel)
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        mel, en = fe(wav)
+        np.asarray(en)
+        track_f0(wav * 32768.0, cfg.sampling_rate, cfg.hop_length,
+                 cfg.f0_min, cfg.f0_max)
+    dt = (time.perf_counter() - t0) / iters
+    _emit(
+        "preprocess_throughput_rtf",
+        seconds / dt,
+        {"utt_sec": seconds, "per_utt_ms": round(dt * 1e3, 1)},
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config",
+        choices=["single", "batched", "mix", "preprocess"],
+        default="single",
+    )
+    args = parser.parse_args()
+
+    from styler_tpu.core.config import default_config
+
+    cfg = default_config()
+    if args.config == "single":
+        bench_synth(cfg, 1, 128, 1024, "e2e_text_to_waveform_rtf")
+    elif args.config == "batched":
+        bench_synth(cfg, 16, 128, 1024, "batched_synthesis_rtf")
+    elif args.config == "mix":
+        bench_mix(cfg)
+    elif args.config == "preprocess":
+        bench_preprocess(cfg)
 
 
 if __name__ == "__main__":

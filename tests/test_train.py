@@ -101,3 +101,25 @@ def test_multichip_dryrun_8_devices():
 
     assert len(jax.devices()) == 8  # conftest virtual CPU mesh
     dryrun_multichip(8)
+
+
+def test_checkpoint_roundtrip(train_setup, tmp_path):
+    """Orbax save -> restore reproduces params, opt_state, and step."""
+    from styler_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+
+    model, state, batch = train_setup
+    step_fn = make_jitted_train_step(model, cfg, donate=False)
+    state1, _ = step_fn(state, batch, jax.random.PRNGKey(3))
+    save_checkpoint(str(tmp_path), 1, state1)
+
+    restored = restore_checkpoint(str(tmp_path), 1, state)
+    assert int(restored.step) == int(state1.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state1.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues from the restored state
+    state2, metrics = step_fn(restored, batch, jax.random.PRNGKey(4))
+    assert int(state2.step) == int(state1.step) + 1
+    assert np.isfinite(float(metrics["total"]))
