@@ -52,8 +52,15 @@ def main():
     val_dataset = Dataset(cfg, "val.txt")
     print(f"train: {len(dataset)} utterances, val: {len(val_dataset)}")
 
+    # Reference semantics drop the last incomplete batch_size² pool
+    # (DataLoader drop_last=True); keep ragged batches when the dataset is
+    # smaller than one pool so tiny corpora still train.
+    drop_last = len(dataset) >= cfg.batch_size**2
+
     # First batch defines shapes for init
-    first = strip_host_fields(next(batch_iterator(dataset, cfg, shuffle=False)))
+    first = strip_host_fields(
+        next(batch_iterator(dataset, cfg, shuffle=False, drop_last=drop_last))
+    )
     rng = jax.random.PRNGKey(cfg.seed)
     model, state = create_train_state(cfg, rng, _forward_only(first))
     n_params = sum(
@@ -67,7 +74,13 @@ def main():
         print(f"--- Model Restored at Step {args.restore_step} ---")
     os.makedirs(ckpt_dir, exist_ok=True)
 
-    mesh = make_mesh(cfg, data=len(jax.devices()))
+    # data axis must divide the per-step batch; use as many devices as fit
+    import math
+
+    n_data = math.gcd(cfg.batch_size, len(jax.devices()))
+    mesh = make_mesh(cfg, data=n_data, devices=jax.devices()[:n_data])
+    if n_data < len(jax.devices()):
+        print(f"mesh: using {n_data}/{len(jax.devices())} devices (batch divisibility)")
     step_fn = make_jitted_train_step(model, cfg, donate=True)
     log_path = cfg.log_path()
     os.makedirs(log_path, exist_ok=True)
@@ -81,7 +94,9 @@ def main():
     with jax.set_mesh(mesh):
         state = replicate_state(state, mesh)
         for epoch in range(cfg.epochs):
-            for batch in batch_iterator(dataset, cfg, seed=cfg.seed, epoch=epoch):
+            for batch in batch_iterator(
+                dataset, cfg, seed=cfg.seed, epoch=epoch, drop_last=drop_last
+            ):
                 batch = shard_batch(strip_host_fields(batch), mesh, cfg)
                 rng, sub = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, sub)
@@ -109,7 +124,9 @@ def main():
 
                 if current_step % cfg.synth_step == 0:
                     # image panels: predicted vs target mel + duration alignment
-                    vb = next(batch_iterator(val_dataset, cfg, shuffle=False))
+                    vb = next(
+                        batch_iterator(val_dataset, cfg, shuffle=False, drop_last=False)
+                    )
                     fwd = _forward_only(strip_host_fields(vb))
                     out = model.apply(
                         {"params": state.params, "batch_stats": state.batch_stats},
@@ -150,7 +167,9 @@ def main():
 
                 if current_step % cfg.eval_step == 0:
                     val_losses = []
-                    for vb in batch_iterator(val_dataset, cfg, shuffle=False):
+                    for vb in batch_iterator(
+                        val_dataset, cfg, shuffle=False, drop_last=False
+                    ):
                         val_losses.append(
                             {
                                 k: float(v)

@@ -1,0 +1,68 @@
+"""CLI smoke tests: drive cli/train.py end-to-end on a synthetic corpus
+(2 optimizer steps, TensorBoard + jsonl logging, checkpoint save)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from styler_tpu.core.config import default_config
+
+from .test_data import TG_SAMPLE
+
+cfg = default_config()
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    in_dir = tmp_path / "raw"
+    out_dir = tmp_path / "preprocessed" / cfg.dataset
+    (in_dir / "p001").mkdir(parents=True)
+    (out_dir / "TextGrid" / "p001").mkdir(parents=True)
+    for i in range(3):
+        base = f"p001_{i:03d}"
+        t = np.arange(22050) / 22050
+        wav = (0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t) * 32767).astype(np.int16)
+        wavfile.write(str(in_dir / "p001" / f"{base}.wav"), 22050, wav)
+        (in_dir / "p001" / f"{base}.txt").write_text("hi\n")
+        (out_dir / "TextGrid" / "p001" / f"{base}.TextGrid").write_text(TG_SAMPLE)
+    from styler_tpu.data.noise_mixer import build_from_path as build_noisy
+    from styler_tpu.data.vctk import build_from_path, write_metadata
+
+    train, val = build_from_path(str(in_dir), str(out_dir), cfg)
+    write_metadata(train, val, str(out_dir))
+    noise_dir = tmp_path / "noise"
+    noise_dir.mkdir()
+    nz = (np.random.default_rng(1).standard_normal(30000) * 3000).astype(np.int16)
+    wavfile.write(str(noise_dir / "nz.wav"), 22050, nz)
+    build_noisy(str(in_dir), str(out_dir), cfg, noise_dir=str(noise_dir))
+    return tmp_path
+
+
+def test_train_cli_two_steps(corpus, monkeypatch):
+    monkeypatch.chdir(corpus)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "train.py",
+            "--preprocessed", "preprocessed",
+            "--batch_size", "2",
+            "--max_steps", "2",
+            "--version", "smoke",
+        ],
+    )
+    sys.path.insert(0, "/root/repo")
+    from cli.train import main
+
+    main()
+    # checkpoint written at max_steps
+    assert os.path.isdir(os.path.join("ckpt", cfg.dataset, "smoke", "2"))
+    # jsonl metrics written
+    metrics = os.path.join("log", cfg.dataset, "smoke", "train_metrics.jsonl")
+    assert os.path.isfile(metrics) and os.path.getsize(metrics) > 0
+    # tensorboard event files exist for the train writer
+    tb_dir = os.path.join("log", cfg.dataset, "smoke", "train")
+    assert os.path.isdir(tb_dir) and len(os.listdir(tb_dir)) > 0
