@@ -51,29 +51,47 @@ def _build(cfg, B, L, M):
 
     batch = _example_batch(cfg, B, L, M)
     model = STYLER(cfg)
-    variables = model.init(jax.random.PRNGKey(0), **batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
     gen = Generator()
-    gen_vars = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+    gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
 
     @jax.jit
-    def synth(model_vars, voc_vars, batch):
+    def synth(model_vars, voc_vars, batch, carry):
+        # carry perturbs an input and the fence depends on all outputs
+        # (see _time for why both are required on this platform)
+        batch = dict(batch, mel_target=batch["mel_target"] + carry)
         out = model.apply(model_vars, **batch, max_mel_len=M)
         wav_clean = gen.apply(voc_vars, out.mel_postnet)
         wav_noisy = gen.apply(voc_vars, out.mel_postnet_noisy)
-        return wav_clean, wav_noisy
+        return jnp.sum(wav_clean) + jnp.sum(wav_noisy)
 
     return synth, variables, gen_vars, batch
 
 
 def _time(fn, iters=10):
-    import jax
+    """Time fn(carry) -> scalar jax array, where the returned scalar must
+    depend on every output of the computation AND the carry must perturb
+    a program INPUT inside fn.
 
-    out = fn()
-    jax.block_until_ready(out)
+    Two quirks of the experimental axon platform make naive timing report
+    impossible numbers (>1 PFLOP/s):
+      1. ``block_until_ready`` returns before the computation finishes —
+         only a host fetch of a produced value is a reliable fence;
+      2. the runtime memoizes identical (program, inputs) calls and
+         evaluates lazily, so repeated calls on the same inputs, fetched
+         once at the end, can execute a single time (or zero times).
+    Chaining the fence scalar through each iteration's inputs defeats
+    both: every call has distinct inputs and the final fetch forces the
+    whole chain.
+    """
+    import jax.numpy as jnp
+
+    carry = fn(jnp.float32(0.0))
+    float(carry)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+        carry = fn(carry * 1e-30)
+    float(carry)
     return (time.perf_counter() - t0) / iters
 
 
@@ -96,7 +114,7 @@ def _emit(metric, rtf, detail):
 
 def bench_synth(cfg, B, L, M, metric):
     synth, variables, gen_vars, batch = _build(cfg, B, L, M)
-    dt = _time(lambda: synth(variables, gen_vars, batch))
+    dt = _time(lambda c: synth(variables, gen_vars, batch, c))
     audio_sec = B * M * cfg.hop_length / cfg.sampling_rate
     _emit(
         metric,
@@ -122,24 +140,93 @@ def bench_mix(cfg):
     B, L, M = 1, 128, 1024
     batch = _example_batch(cfg, B, L, M)
     model = STYLER(cfg)
-    variables = model.init(jax.random.PRNGKey(0), **batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
     gen = Generator()
-    gen_vars = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+    gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
 
-    style = jax.random.normal(jax.random.PRNGKey(2), (32, M, cfg.encoder_hidden))
-    mel_mask = jnp.zeros((32, M), dtype=bool)
+    # 8 combos per jitted call: 32 at once needs ~22 GB of HBM for the
+    # HiFi-GAN intermediate activations (v5e has 16 GB)
+    CHUNK = 8
+    style = jax.random.normal(jax.random.PRNGKey(2), (CHUNK, M, cfg.encoder_hidden))
+    mel_mask = jnp.zeros((CHUNK, M), dtype=bool)
 
     @jax.jit
-    def decode_all(model_vars, voc_vars, style, mel_mask):
-        _, mel_postnet = model.apply(model_vars, style, mel_mask, method="decode")
-        return gen.apply(voc_vars, mel_postnet)
+    def decode_chunk(model_vars, voc_vars, style, mel_mask, carry):
+        _, mel_postnet = model.apply(
+            model_vars, style + carry, mel_mask, method="decode"
+        )
+        return jnp.sum(gen.apply(voc_vars, mel_postnet))
 
-    dt = _time(lambda: decode_all(variables, gen_vars, style, mel_mask))
+    def decode_all(carry):
+        for _ in range(32 // CHUNK):
+            carry = decode_chunk(variables, gen_vars, style, mel_mask, carry * 1e-30)
+        return carry
+
+    dt = _time(decode_all)
     audio_sec = 32 * M * cfg.hop_length / cfg.sampling_rate
     _emit(
         "mix_and_match_32combo_rtf",
         audio_sec / dt,
         {"combos": 32, "step_ms": round(dt * 1e3, 2)},
+    )
+
+
+def bench_train(cfg):
+    """Training throughput: full jitted optimizer step (teacher-forced
+    forward + DAT second pass + backward + Noam Adam) at the reference
+    batch size; metric of record = mel frames/sec/chip (SURVEY.md §6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from styler_tpu.train import create_train_state, make_jitted_train_step
+
+    B, L, M = cfg.batch_size, 128, 1024
+    rng = np.random.default_rng(0)
+    batch = _example_batch(cfg, B, L, M)
+    d = np.full((B, L), M // L, dtype=np.int32)
+    batch.update(
+        d_target=jnp.asarray(d),
+        p_target=jnp.asarray((rng.random((B, M)) * 300 + 80).astype(np.float32)),
+        e_target=jnp.asarray((rng.random((B, M)) * 100).astype(np.float32)),
+        log_d_target=jnp.asarray(np.log(d + cfg.log_offset).astype(np.float32)),
+        f0_norm_aug=jnp.asarray(rng.random((B, M)).astype(np.float32)),
+        e_input_aug=jnp.asarray(rng.random((B, M)).astype(np.float32)),
+    )
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step_fn = make_jitted_train_step(model, cfg, donate=False)
+
+    @jax.jit
+    def run_step(state, batch, carry):
+        batch = dict(batch, mel_target=batch["mel_target"] + carry)
+        new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        # fence over loss AND a param leaf so the optimizer update is
+        # included in the measured work
+        leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+        return metrics["total"] + jnp.sum(jnp.abs(leaf)) * 1e-30
+
+    def run(carry):
+        return run_step(state, batch, carry)
+
+    import jax as _jax
+
+    dt = _time(run, iters=5)
+    frames_per_sec = B * M / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_mel_frames_per_sec",
+                "value": round(frames_per_sec, 1),
+                "unit": "mel_frames_per_sec_per_chip",
+                # multiples of the 86.13 frames/s real-time mel rate
+                "vs_baseline": round(frames_per_sec / cfg.n_frames_per_sec, 1),
+                "detail": {
+                    "steps_per_sec": round(1.0 / dt, 2),
+                    "step_ms": round(dt * 1e3, 1),
+                    "batch": B,
+                    "device": str(_jax.devices()[0]),
+                },
+            }
+        )
     )
 
 
@@ -179,7 +266,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--config",
-        choices=["single", "batched", "mix", "preprocess"],
+        choices=["single", "batched", "mix", "preprocess", "train"],
         default="single",
     )
     args = parser.parse_args()
@@ -195,6 +282,8 @@ def main():
         bench_mix(cfg)
     elif args.config == "preprocess":
         bench_preprocess(cfg)
+    elif args.config == "train":
+        bench_train(cfg)
 
 
 if __name__ == "__main__":

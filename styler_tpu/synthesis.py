@@ -84,7 +84,7 @@ class Synthesizer:
         self.g2p = G2p()
         self.generator = Generator()
         if vocoder_params is None:
-            self.vocoder_variables = self.generator.init(
+            self.vocoder_variables = jax.jit(self.generator.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, 8, config.n_mel_channels))
             )
         else:
@@ -193,13 +193,18 @@ class Synthesizer:
     # Inspection: style-factor ablations (reference synthesize.py:282-341)
     # ------------------------------------------------------------------
 
-    def _mix_forward(
+    @functools.partial(
+        jax.jit, static_argnames=("self", "max_mel_len", "speaker_normalized", "noisy")
+    )
+    def _mix_jit(
         self, t, p, e, d, s, n, src_mask, max_mel_len, speaker_normalized, noisy
     ):
+        """One jitted program per combo shape: predict_inference on the
+        mixed encodings + decode + vocoder (hot loop of --cont/--inspection)."""
         pieces = self.model.apply(
             self.variables,
             t, p, e, d, s, n,
-            jnp.asarray(src_mask),
+            src_mask,
             max_mel_len,
             speaker_normalized,
             method=lambda m, *a: m.style_modeling.predict_inference(*a),
@@ -212,6 +217,18 @@ class Synthesizer:
             self.variables, style_out, mel_mask, method="decode"
         )
         wav = self.generator.apply(self.vocoder_variables, mel_postnet)
+        return mel_postnet, wav, p_pred, e_pred, mel_mask
+
+    def _mix_forward(
+        self, t, p, e, d, s, n, src_mask, max_mel_len, speaker_normalized, noisy
+    ):
+        mel_postnet, wav, p_pred, e_pred, mel_mask = self._mix_jit(
+            t, p, e, d, s, n,
+            jnp.asarray(src_mask),
+            max_mel_len,
+            bool(speaker_normalized),
+            bool(noisy),
+        )
         mel_len = int(np.asarray((~np.asarray(mel_mask)).sum(-1))[0])
         return {
             "mel": np.asarray(mel_postnet)[0, :mel_len],
@@ -328,7 +345,7 @@ def load_synthesizer(
         from __graft_entry__ import _example_batch
 
         model = STYLER(config)
-        variables = model.init(
+        variables = jax.jit(model.init)(
             jax.random.PRNGKey(config.seed), **_example_batch(config, with_targets=False)
         )
         params = variables["params"]
