@@ -84,15 +84,26 @@ def _time(fn, iters=10):
     both: every call has distinct inputs and the final fetch forces the
     whole chain.
     """
+    import jax
     import jax.numpy as jnp
 
-    carry = fn(jnp.float32(0.0))
+    # Repeat INSIDE one program: the axon tunnel adds a per-dispatch
+    # overhead that scales with program size (~40 ms for the full model),
+    # which a real TPU host does not pay (~100 us). lax.fori_loop chains
+    # the carry through every inner iteration, so all of them execute.
+    inner = 8
+
+    @jax.jit
+    def repeat(carry):
+        return jax.lax.fori_loop(0, inner, lambda i, c: fn(c * 1e-30), carry)
+
+    carry = repeat(jnp.float32(0.0))
     float(carry)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry = fn(carry * 1e-30)
+        carry = repeat(carry * 1e-30)
     float(carry)
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / (iters * inner)
 
 
 def _emit(metric, rtf, detail):

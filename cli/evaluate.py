@@ -30,7 +30,9 @@ def main():
         cfg = cfg.replace(preprocessed_basedir=args.preprocessed)
 
     dataset = Dataset(cfg, "val.txt", sort=False)
-    first = strip_host_fields(next(batch_iterator(dataset, cfg, shuffle=False)))
+    first = strip_host_fields(
+        next(batch_iterator(dataset, cfg, shuffle=False, drop_last=False))
+    )
     from cli.train import _forward_only
 
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), _forward_only(first))

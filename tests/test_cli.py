@@ -66,3 +66,21 @@ def test_train_cli_two_steps(corpus, monkeypatch):
     # tensorboard event files exist for the train writer
     tb_dir = os.path.join("log", cfg.dataset, "smoke", "train")
     assert os.path.isdir(tb_dir) and len(os.listdir(tb_dir)) > 0
+
+
+def test_evaluate_cli(corpus, monkeypatch, capsys):
+    monkeypatch.chdir(corpus)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["evaluate.py", "--preprocessed", "preprocessed", "--max_batches", "1"],
+    )
+    sys.path.insert(0, "/root/repo")
+    from cli.evaluate import main
+
+    main()
+    out = capsys.readouterr().out
+    # all 10 averaged loss components printed
+    for key in ("total", "mel", "mel_postnet", "duration", "f0", "energy",
+                "dat_clean", "dat_aug"):
+        assert f"{key}:" in out, out
