@@ -173,6 +173,24 @@ class MelFrontend:
         """Alias matching the reference TacotronSTFT API (stft.py:141-160)."""
         return self(audio)
 
+    def mel_to_wav(self, mel_log: jnp.ndarray, n_iters: int = 30) -> jnp.ndarray:
+        """Griffin-Lim vocoder fallback (reference audio/tools.py:58-74):
+        log-mel [n_mels, F] -> waveform, fully on device. Inverts the log
+        compression, maps mel -> linear magnitudes with the pseudo-inverse
+        filterbank, then runs Griffin-Lim phase reconstruction."""
+        if not hasattr(self, "_mel_pinv"):
+            import numpy as _np
+
+            self._mel_pinv = jnp.asarray(
+                _np.linalg.pinv(_np.asarray(self.mel_basis))
+            )
+
+        def invert(m):
+            mag = jnp.maximum(self._mel_pinv @ dynamic_range_decompression(m), 0.0)
+            return griffin_lim(mag, self.window, self.n_fft, self.hop_length, n_iters)
+
+        return jax.jit(invert)(mel_log)
+
 
 def griffin_lim(
     magnitudes: jnp.ndarray,
