@@ -38,6 +38,10 @@ def main():
     parser.add_argument("--sentence", type=str, default=None,
                         help="synthesize a single sentence instead of the built-in list")
     parser.add_argument("--outdir", type=str, default=None)
+    parser.add_argument("--src_buckets", type=int, nargs="+", default=None,
+                        help="override phoneme-axis shape buckets")
+    parser.add_argument("--mel_buckets", type=int, nargs="+", default=None,
+                        help="override mel-frame-axis shape buckets")
     args = parser.parse_args()
 
     import numpy as np
@@ -53,6 +57,10 @@ def main():
         cfg = cfg.replace(ref_audio_dir=args.ref_audio_dir)
     if args.ref_tg_dir:
         cfg = cfg.replace(ref_tg_dir=args.ref_tg_dir)
+    if args.src_buckets:
+        cfg = cfg.replace(src_buckets=tuple(args.src_buckets))
+    if args.mel_buckets:
+        cfg = cfg.replace(mel_buckets=tuple(args.mel_buckets))
 
     synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt)
     outdir = args.outdir or cfg.test_path()

@@ -68,6 +68,40 @@ def test_train_cli_two_steps(corpus, monkeypatch):
     assert os.path.isdir(tb_dir) and len(os.listdir(tb_dir)) > 0
 
 
+def test_synthesize_cli(tmp_path, monkeypatch):
+    ref_dir = tmp_path / "refs"
+    ref_dir.mkdir()
+    t = np.arange(int(22050 * 0.6)) / 22050
+    wav = (0.4 * np.sin(2 * np.pi * 170 * t) * 32767).astype(np.int16)
+    wavfile.write(str(ref_dir / "p001_001.wav"), 22050, wav)
+    outdir = tmp_path / "out"
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "synthesize.py",
+            "--ref_name", "p001_001",
+            "--ref_audio_dir", str(ref_dir),
+            "--ref_tg_dir", str(ref_dir),
+            "--sentence", "Hi.",
+            "--outdir", str(outdir),
+            "--src_buckets", "32",
+            "--mel_buckets", "64",
+        ],
+    )
+    sys.path.insert(0, "/root/repo")
+    from cli.synthesize import main
+
+    main()
+    wavs = [f for f in os.listdir(outdir) if f.endswith(".wav")]
+    assert any("noisy" in f for f in wavs) and any("noisy" not in f for f in wavs)
+    mels = [f for f in os.listdir(outdir) if f.endswith("_mel.npy")]
+    assert mels
+    m = np.load(outdir / mels[0])
+    assert m.ndim == 2 and m.shape[1] == 80 and np.isfinite(m).all()
+
+
 def test_evaluate_cli(corpus, monkeypatch, capsys):
     monkeypatch.chdir(corpus)
     monkeypatch.setattr(
