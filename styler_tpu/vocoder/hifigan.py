@@ -54,6 +54,7 @@ class ConvTranspose1dTorch(nn.Module):
     features: int
     kernel_size: int
     stride: int
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -68,14 +69,14 @@ class ConvTranspose1dTorch(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         pad = k - 1 - p
         out = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=(1,),
             padding=[(pad, pad)],
             lhs_dilation=(u,),
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
-        return out + bias
+        return out + bias.astype(self.dtype)
 
 
 class ResBlock1(nn.Module):
@@ -85,6 +86,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int
     dilations: Tuple[int, ...] = (1, 3, 5)
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -95,6 +97,7 @@ class ResBlock1(nn.Module):
                 (self.kernel_size,),
                 kernel_dilation=(d,),
                 padding="SAME",
+                dtype=self.dtype,
                 name=f"convs1_{i}",
             )(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
@@ -103,6 +106,7 @@ class ResBlock1(nn.Module):
                 (self.kernel_size,),
                 kernel_dilation=(1,),
                 padding="SAME",
+                dtype=self.dtype,
                 name=f"convs2_{i}",
             )(xt)
             x = x + xt
@@ -110,14 +114,21 @@ class ResBlock1(nn.Module):
 
 
 class Generator(nn.Module):
+    """compute_dtype=bfloat16 is the production inference mode (MXU-native,
+    ~2x f32 conv throughput); float32 is used for torch-parity testing.
+    Params are stored f32 either way."""
+
     config: HiFiGANConfig = HiFiGANConfig()
+    compute_dtype: type = jnp.bfloat16
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         """mel: [B, T, 80] (log-mel, channels-last) -> wav [B, T*256]."""
         cfg = self.config
+        dt = self.compute_dtype
         x = nn.Conv(
-            cfg.upsample_initial_channel, (7,), padding="SAME", name="conv_pre"
+            cfg.upsample_initial_channel, (7,), padding="SAME", dtype=dt,
+            name="conv_pre",
         )(mel)
 
         num_kernels = len(cfg.resblock_kernel_sizes)
@@ -126,18 +137,18 @@ class Generator(nn.Module):
         ):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-            x = ConvTranspose1dTorch(ch, k, u, name=f"ups_{i}")(x)
+            x = ConvTranspose1dTorch(ch, k, u, dtype=dt, name=f"ups_{i}")(x)
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
             ):
-                block = ResBlock1(ch, rk, tuple(rd), name=f"resblocks_{i}_{j}")(x)
+                block = ResBlock1(ch, rk, tuple(rd), dtype=dt, name=f"resblocks_{i}_{j}")(x)
                 xs = block if xs is None else xs + block
             x = xs / num_kernels
 
         x = nn.leaky_relu(x)  # default slope 0.01 (reference models.py:161 F.leaky_relu)
-        x = nn.Conv(1, (7,), padding="SAME", name="conv_post")(x)
-        return jnp.tanh(x)[..., 0]
+        x = nn.Conv(1, (7,), padding="SAME", dtype=dt, name="conv_post")(x)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
 def vocode(generator: Generator, variables, mel: jnp.ndarray) -> jnp.ndarray:

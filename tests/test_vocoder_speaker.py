@@ -113,7 +113,7 @@ def test_generator_parity_small_config(rng):
         golden = tg(torch.from_numpy(mel)).numpy()[:, 0, :]
 
     params = import_hifigan_state(tg.state_dict(), cfg)
-    gen = Generator(cfg)
+    gen = Generator(cfg, compute_dtype=jnp.float32)
     got = gen.apply({"params": params}, jnp.asarray(mel.transpose(0, 2, 1)))
     got = np.asarray(got)
     assert got.shape == golden.shape == (1, 20 * 16)
@@ -150,3 +150,27 @@ def test_fbank_features(rng):
     assert img.shape == (160, 64, 1)
     # per-frame normalization applied before crop: near zero mean rows
     assert abs(img[:, :, 0].mean()) < 0.2
+
+
+def test_generator_bf16_close_to_f32(rng):
+    """Production bf16 compute mode stays perceptually faithful to f32
+    (tanh-bounded waveform, small config)."""
+    from styler_tpu.vocoder.hifigan import HiFiGANConfig
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    )
+    import jax
+
+    mel = jnp.asarray(rng.standard_normal((1, 20, 80)).astype(np.float32))
+    g32 = Generator(cfg, compute_dtype=jnp.float32)
+    v = g32.init(jax.random.PRNGKey(0), mel)
+    w32 = np.asarray(g32.apply(v, mel))
+    gbf = Generator(cfg, compute_dtype=jnp.bfloat16)
+    wbf = np.asarray(gbf.apply(v, mel))
+    assert w32.shape == wbf.shape
+    assert np.abs(w32 - wbf).max() < 0.1, np.abs(w32 - wbf).max()
+    corr = np.corrcoef(w32.ravel(), wbf.ravel())[0, 1]
+    assert corr > 0.99, corr
