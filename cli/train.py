@@ -14,7 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--restore_step", type=int, default=0,
+                        help="checkpoint step to resume from; -1 = latest")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace for N steps "
+                             "(written under <log_path>/profile)")
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--version", type=str, default="")
     parser.add_argument("--epochs", type=int, default=None)
@@ -28,7 +32,12 @@ def main():
 
     from styler_tpu.core.config import default_config
     from styler_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
-    from styler_tpu.data.dataset import Dataset, batch_iterator, strip_host_fields
+    from styler_tpu.data.dataset import (
+        Dataset,
+        batch_iterator,
+        prefetch,
+        strip_host_fields,
+    )
     from styler_tpu.parallel import make_mesh, replicate_state, shard_batch
     from styler_tpu.train import create_train_state, eval_step, make_jitted_train_step
     from styler_tpu.utils import (
@@ -71,7 +80,7 @@ def main():
     ckpt_dir = cfg.checkpoint_path()
     if args.restore_step:
         state = restore_checkpoint(ckpt_dir, args.restore_step, state)
-        print(f"--- Model Restored at Step {args.restore_step} ---")
+        print(f"--- Model Restored at Step {int(state.step)} ---")
     os.makedirs(ckpt_dir, exist_ok=True)
 
     # data axis must divide the per-step batch; use as many devices as fit
@@ -89,19 +98,33 @@ def main():
     tb_val = SummaryLogger(log_path, "validation")
     timer = StepTimer()
 
-    current_step = args.restore_step
+    current_step = int(state.step)
+    profile_until = current_step + args.profile_steps if args.profile_steps else None
+    if profile_until:
+        import jax.profiler
+
+        jax.profiler.start_trace(os.path.join(log_path, "profile"))
     t_step = time.perf_counter()
     with jax.set_mesh(mesh):
         state = replicate_state(state, mesh)
         for epoch in range(cfg.epochs):
-            for batch in batch_iterator(
-                dataset, cfg, seed=cfg.seed, epoch=epoch, drop_last=drop_last
+            for batch in prefetch(
+                batch_iterator(
+                    dataset, cfg, seed=cfg.seed, epoch=epoch, drop_last=drop_last
+                )
             ):
                 batch = shard_batch(strip_host_fields(batch), mesh, cfg)
                 rng, sub = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, sub)
                 current_step += 1
                 timer.tick()
+
+                if profile_until and current_step >= profile_until:
+                    import jax.profiler
+
+                    jax.profiler.stop_trace()
+                    print(f"profile trace written to {log_path}/profile")
+                    profile_until = None
 
                 if current_step == 1 or current_step % cfg.log_step == 0:
                     m = {k: float(v) for k, v in metrics.items()}

@@ -35,8 +35,22 @@ def save_checkpoint(ckpt_dir: str, step: int, state) -> None:
     ckptr.wait_until_finished()
 
 
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    """Largest numeric checkpoint subdirectory, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
 def restore_checkpoint(ckpt_dir: str, step: int, state):
-    """Restore into an existing (abstract or concrete) train state."""
+    """Restore into an existing (abstract or concrete) train state.
+    step=-1 restores the latest checkpoint in the directory."""
+    if step == -1:
+        found = latest_step(ckpt_dir)
+        if found is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        step = found
     path = os.path.abspath(os.path.join(ckpt_dir, str(step)))
     ckptr = ocp.StandardCheckpointer()
     target = {

@@ -155,3 +155,29 @@ def batch_iterator(
 def strip_host_fields(batch: Dict) -> Dict:
     """Drop non-array fields before feeding the jitted step."""
     return {k: v for k, v in batch.items() if k != "id"}
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetcher: overlaps host-side npy loading /
+    collation with device execution (the reference's DataLoader runs
+    num_workers=0, fully serial — reference train.py:30)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -142,16 +142,29 @@ class STYLER(nn.Module):
         out_mel_mask = sm.mel_mask if d_target is None else mel_mask
         out_mel_len = sm.mel_len if d_target is None else mel_len
 
-        # Clean decoding (styler.py:52)
-        mel, mel_postnet = self.decode(
-            sm.encoder_output, out_mel_mask, deterministic, train
-        )
-
-        # Residual ("noisy") decoding (styler.py:55)
+        # Clean decoding (styler.py:52) + Residual ("noisy") decoding
+        # (styler.py:55). In eval mode the two decodes run as ONE batched
+        # pass (2B) through the shared decoder — identical math since all
+        # decoder ops are batch-independent with running-average BN; in
+        # train mode they stay separate so the PostNet BatchNorm batch
+        # statistics match the reference's two sequential forwards.
         noisy_in = jax.lax.stop_gradient(sm.encoder_output) + sm.noise_encoding
-        mel_noisy, mel_postnet_noisy = self.decode(
-            noisy_in, out_mel_mask, deterministic, train
-        )
+        if train:
+            mel, mel_postnet = self.decode(
+                sm.encoder_output, out_mel_mask, deterministic, train
+            )
+            mel_noisy, mel_postnet_noisy = self.decode(
+                noisy_in, out_mel_mask, deterministic, train
+            )
+        else:
+            stacked = jnp.concatenate([sm.encoder_output, noisy_in], axis=0)
+            stacked_mask = jnp.concatenate([out_mel_mask, out_mel_mask], axis=0)
+            mel2, mel_postnet2 = self.decode(
+                stacked, stacked_mask, deterministic, train
+            )
+            B = sm.encoder_output.shape[0]
+            mel, mel_noisy = mel2[:B], mel2[B:]
+            mel_postnet, mel_postnet_noisy = mel_postnet2[:B], mel_postnet2[B:]
 
         return StylerOutput(
             mel=mel,

@@ -180,3 +180,12 @@ def test_vctk_build_and_dataset_roundtrip(mini_corpus, monkeypatch):
     assert b["src_seq"].shape[1] in small.src_buckets
     assert b["mel_target"].shape[1] in small.mel_buckets
     assert (b["log_d_target"] >= 0).all()
+
+
+def test_prefetch_iterator():
+    from styler_tpu.data.dataset import prefetch
+
+    out = list(prefetch(iter(range(7)), size=2))
+    assert out == list(range(7))
+    # empty iterator terminates
+    assert list(prefetch(iter([]))) == []
