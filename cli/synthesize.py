@@ -42,6 +42,9 @@ def main():
                         help="override phoneme-axis shape buckets")
     parser.add_argument("--mel_buckets", type=int, nargs="+", default=None,
                         help="override mel-frame-axis shape buckets")
+    parser.add_argument("--batch", action="store_true",
+                        help="synthesize all sentences in ONE jitted batched "
+                             "forward, sharded over all devices")
     args = parser.parse_args()
 
     import numpy as np
@@ -116,6 +119,30 @@ def main():
     ref, speaker_embed = load_ref(args.ref_name)
     todo = [args.sentence] if args.sentence else sentences
     start_time = time.perf_counter()
+
+    if args.batch:
+        import jax
+
+        from styler_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(cfg, data=n_dev) if n_dev > 1 else None
+        results = synth.synthesize_batch(
+            todo, [ref] * len(todo), [speaker_embed] * len(todo), mesh=mesh,
+            d_control=args.duration_control, p_control=args.pitch_control,
+            e_control=args.energy_control,
+        )
+        for i, (sentence, r) in enumerate(zip(todo, results)):
+            stem = f"{i}_{cfg.vocoder}_{sentence[:10].replace(' ', '_')}"
+            audiowrite(r["wav"], cfg.sampling_rate, os.path.join(outdir, stem + ".wav"))
+            audiowrite(r["wav_noisy"], cfg.sampling_rate,
+                       os.path.join(outdir, stem + "_noisy.wav"))
+            np.save(os.path.join(outdir, stem + "_mel.npy"), r["mel"])
+        dt = time.perf_counter() - start_time
+        audio_sec = sum(r["mel_len"] for r in results) * cfg.hop_length / cfg.sampling_rate
+        print(f"Batched {len(todo)} sentences: {audio_sec:.1f}s audio in "
+              f"{dt:.2f}s (RTF {audio_sec/dt:.1f}x)")
+        return
     for i, sentence in enumerate(todo):
         t0 = time.perf_counter()
         r = synth.synthesize(

@@ -189,6 +189,88 @@ class Synthesizer:
             "src_mask": np.asarray(out.src_mask),
         }
 
+    def synthesize_batch(
+        self,
+        sentences: list,
+        refs: list,
+        speaker_embeds: list,
+        mesh=None,
+        d_control: float = 1.0,
+        p_control: float = 1.0,
+        e_control: float = 1.0,
+    ) -> list:
+        """Batched synthesis: N (sentence, reference) pairs in ONE jitted
+        forward (+ optional SPMD sharding of the batch axis over a
+        ``jax.sharding.Mesh`` — the serving-scale path; the reference
+        loops sentences one by one, synthesize.py:449-453).
+
+        Returns a list of per-item dicts like ``synthesize``'s (without
+        encodings). The batch is padded up to a multiple of the mesh's
+        data-axis size when a mesh is given.
+        """
+        cfg = self.config
+        n = len(sentences)
+        assert len(refs) == n and len(speaker_embeds) == n
+        ids = [self.text_to_ids(s) for s in sentences]
+        L = bucket_for(max(len(i) for i in ids), cfg.src_buckets)
+        M_in = bucket_for(max(r.mel_len for r in refs), cfg.mel_buckets)
+        M_out = cfg.mel_buckets[-1]
+
+        B = n
+        if mesh is not None:
+            data_axis = mesh.shape[cfg.mesh_data_axis]
+            B = ((n + data_axis - 1) // data_axis) * data_axis
+
+        src_seq = np.zeros((B, L), np.int32)
+        src_len = np.ones(B, np.int32)
+        mel = np.zeros((B, M_in, cfg.n_mel_channels), np.float32)
+        f0 = np.zeros((B, M_in), np.float32)
+        en = np.zeros((B, M_in), np.float32)
+        mel_len = np.ones(B, np.int32)
+        spk = np.zeros((B, len(np.ravel(speaker_embeds[0]))), np.float32)
+        for i in range(n):
+            src_seq[i, : len(ids[i])] = ids[i]
+            src_len[i] = len(ids[i])
+            r = refs[i]
+            mel[i, : r.mel_len] = r.mel[: r.mel_len]
+            f0[i, : r.mel_len] = r.f0_norm[: r.mel_len]
+            en[i, : r.mel_len] = r.energy01[: r.mel_len]
+            mel_len[i] = r.mel_len
+        for i in range(B):
+            spk[i] = np.ravel(speaker_embeds[min(i, n - 1)])
+
+        arrays = (
+            jnp.asarray(src_seq), jnp.asarray(src_len), jnp.asarray(mel),
+            jnp.asarray(f0), jnp.asarray(en), jnp.asarray(mel_len),
+            jnp.asarray(spk),
+        )
+        if mesh is not None:
+            from styler_tpu.parallel import batch_sharding
+
+            sh = batch_sharding(mesh, cfg)
+            arrays = tuple(jax.device_put(a, sh) for a in arrays)
+
+        out, wav_clean, wav_noisy = self._forward(
+            *arrays[:2], *arrays[2:],
+            float(d_control), float(p_control), float(e_control), M_out,
+        )
+        results = []
+        for i in range(n):
+            ml = int(out.mel_len[i])
+            ns = ml * cfg.hop_length
+            results.append(
+                {
+                    "mel": np.asarray(out.mel_postnet)[i, :ml],
+                    "mel_noisy": np.asarray(out.mel_postnet_noisy)[i, :ml],
+                    "wav": np.asarray(wav_clean)[i, :ns],
+                    "wav_noisy": np.asarray(wav_noisy)[i, :ns],
+                    "f0": np.asarray(out.p_prediction)[i, :ml],
+                    "energy": np.asarray(out.e_prediction)[i, :ml],
+                    "mel_len": ml,
+                }
+            )
+        return results
+
     # ------------------------------------------------------------------
     # Inspection: style-factor ablations (reference synthesize.py:282-341)
     # ------------------------------------------------------------------

@@ -80,3 +80,38 @@ def test_mix_and_match_32_combos(synth, ref, spk):
     for comb, r in results.items():
         assert np.isfinite(r["mel"]).all(), comb
         assert r["wav"].shape[0] == r["mel_len"] * cfg.hop_length, comb
+
+
+def test_synthesize_batch_matches_single(synth, ref, spk):
+    """Batched path returns per-item results consistent with the single
+    path (same jitted forward, batch axis only)."""
+    t = np.arange(int(22050 * 0.5)) / 22050
+    wav2 = (0.3 * np.sin(2 * np.pi * 140 * t) * 32768.0).astype(np.float32)
+    ref2 = extract_reference_features(wav2, cfg, synth.frontend)
+    res = synth.synthesize_batch(
+        ["Hi.", "No."], [ref, ref2], [spk, -np.asarray(spk)]
+    )
+    assert len(res) == 2
+    single = synth.synthesize("Hi.", ref, spk)
+    assert res[0]["mel_len"] == single["mel_len"]
+    np.testing.assert_allclose(res[0]["mel"], single["mel"], atol=2e-4, rtol=1e-4)
+
+
+def test_synthesize_batch_sharded_over_mesh(synth, ref, spk):
+    """SPMD serving path: batch axis sharded over the 8-device CPU mesh."""
+    import jax
+
+    from styler_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(cfg, data=8)
+    t = np.arange(int(22050 * 0.4)) / 22050
+    wav2 = (0.3 * np.sin(2 * np.pi * 200 * t) * 32768.0).astype(np.float32)
+    ref2 = extract_reference_features(wav2, cfg, synth.frontend)
+    res = synth.synthesize_batch(
+        ["Hi.", "No.", "Go."], [ref, ref2, ref], [spk, spk, spk], mesh=mesh
+    )
+    assert len(res) == 3
+    for r in res:
+        assert np.isfinite(r["wav"]).all()
+        assert r["wav"].shape[0] == r["mel_len"] * cfg.hop_length
