@@ -140,7 +140,10 @@ class TextEncoder(nn.Module):
         emb_table = jnp.asarray(emb_table).at[0].set(0.0)
         x = emb_table[src_seq]
 
-        pos = jnp.asarray(sinusoid_table(self.max_seq_len + 1, self.d_model))
+        # like the decoder, regenerate the table when the (static) padded
+        # phoneme axis outruns it (reference Models.py:69-71 eval fallback)
+        n_pos = max(self.max_seq_len + 1, x.shape[1])
+        pos = jnp.asarray(sinusoid_table(n_pos, self.d_model))
         x = x + pos[None, : x.shape[1], :]
 
         attn_mask = jnp.repeat(src_mask[:, None, :], x.shape[1], axis=1)

@@ -194,6 +194,86 @@ def test_full_model_parity(reference_forward):
     assert mae(out.e_prediction, golden["e_pred"], mel_valid) < 5e-3
 
 
+def test_inference_path_parity_batch0(reference_forward):
+    """Predicted-duration (no-target) path: the reference computes
+    durations = clamp(round(exp(log_d)-1)), length-regulates, predicts
+    pitch/energy from its own encodings (modules.py:353-382). Compare on
+    a batch of one unpadded example (the padded-example LSTM quirk does
+    not apply)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from styler_tpu.core.config import default_config
+    from styler_tpu.core.import_torch import import_styler_state
+    from styler_tpu.models import STYLER
+
+    batch, golden, state_dict, (B, L, M) = reference_forward
+
+    sys.path.insert(0, REFERENCE)
+    from styler import STYLER as TorchSTYLER
+
+    # Random weights predict ~zero durations (round(exp(0)-1)=0), which
+    # collapses the frame axis below the k=3 predictor convs. Bias the
+    # duration head so durations ≈ 4 frames/phoneme — both models get the
+    # identical modified weights, so parity still holds.
+    state_dict = {k: v.clone() for k, v in state_dict.items()}
+    state_dict["style_modeling.duration_predictor.linear_layer.bias"] += np.log(5.0)
+
+    torch.manual_seed(0)
+    tmodel = TorchSTYLER()
+    tmodel.load_state_dict(state_dict)
+    tmodel.eval()
+
+    one = {k: v[:1] for k, v in batch.items()}
+    with torch.no_grad():
+        tout = tmodel(
+            torch.from_numpy(one["src_seq"]),
+            torch.from_numpy(one["mel_target"]),
+            torch.from_numpy(one["mel_aug"]),
+            torch.from_numpy(one["p_norm"]),
+            torch.from_numpy(one["e_input"]),
+            torch.from_numpy(one["src_len"]),
+            torch.from_numpy(one["mel_len"]),
+            speaker_embed=torch.from_numpy(one["speaker_embed"]),
+        )
+    mels_t, postnets_t, log_d_t, p_t, e_t, _, mel_mask_t, mel_len_t = tout[:8]
+    ref_mel_len = int(mel_len_t[0])
+
+    cfg = default_config()
+    params, batch_stats = import_styler_state(state_dict, cfg)
+    model = STYLER(cfg)
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        src_seq=jnp.asarray(one["src_seq"].astype(np.int32)),
+        mel_target=jnp.asarray(one["mel_target"]),
+        mel_aug=jnp.asarray(one["mel_aug"]),
+        p_norm=jnp.asarray(one["p_norm"]),
+        e_input=jnp.asarray(one["e_input"]),
+        src_len=jnp.asarray(one["src_len"].astype(np.int32)),
+        mel_len=jnp.asarray(one["mel_len"].astype(np.int32)),
+        max_src_len=L,
+        max_mel_len=max(M, ref_mel_len),
+        speaker_embed=jnp.asarray(one["speaker_embed"]),
+    )
+
+    # duration head must agree tightly, and so must the rounded durations
+    log_d = np.asarray(out.log_d_prediction)[0]
+    np.testing.assert_allclose(log_d, log_d_t[0].numpy(), rtol=1e-4, atol=1e-4)
+    assert int(out.mel_len[0]) == ref_mel_len
+
+    n = ref_mel_len
+    np.testing.assert_allclose(
+        np.asarray(out.p_prediction)[0, :n], p_t[0, :n].numpy(), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.e_prediction)[0, :n], e_t[0, :n].numpy(), rtol=1e-3, atol=1e-3
+    )
+    assert np.abs(
+        np.asarray(out.mel_postnet)[0, :n] - postnets_t[0][0, :n].numpy()
+    ).mean() < 1e-3
+
+
 def test_dat_posterior_parity_batch0(reference_forward):
     """DAT posteriors match on example 0, which has no padding (the
     reference pools over padded positions; we pool over valid ones —
