@@ -25,10 +25,6 @@ import time
 
 import numpy as np
 
-from styler_tpu.core.xla_flags import apply_workarounds
-
-apply_workarounds()  # before the first jax import (see core/xla_flags.py)
-
 
 def _example_batch(cfg, B, L, M, seed=0):
     import jax.numpy as jnp

@@ -10,10 +10,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from styler_tpu.core.xla_flags import apply_workarounds
-
-apply_workarounds()  # must run before the first jax import
-
 
 def main():
     parser = argparse.ArgumentParser()

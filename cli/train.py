@@ -11,11 +11,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from styler_tpu.core.xla_flags import apply_workarounds
-
-apply_workarounds()  # must run before the first jax import
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--restore_step", type=int, default=0,
@@ -30,6 +25,15 @@ def main():
     parser.add_argument("--preprocessed", type=str, default=None,
                         help="override preprocessed base dir")
     args = parser.parse_args()
+
+    # XLA:TPU's space-to-batch pass crashes on the backprop convs at small
+    # batch sizes (see core/xla_flags.py). It is also a small-batch conv
+    # OPTIMIZATION, so only disable it where the crash bites — keeping the
+    # 4x inference speedup it provides elsewhere.
+    if (args.batch_size or 16) < 8:
+        from styler_tpu.core.xla_flags import apply_workarounds
+
+        apply_workarounds()
 
     import jax
     import numpy as np
