@@ -1,7 +1,9 @@
 from styler_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    param_sharding_for,
     replicate_state,
     replicated,
     shard_batch,
+    shard_state,
 )

@@ -54,3 +54,38 @@ def shard_batch(batch: Dict, mesh: Mesh, config: Optional[Config] = None) -> Dic
 
 def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, replicated(mesh))
+
+
+def param_sharding_for(
+    shape, mesh: Mesh, config: Optional[Config] = None, min_elems: int = 1 << 16
+) -> NamedSharding:
+    """Tensor-parallel sharding rule for one parameter array.
+
+    Large matrices (>= min_elems) are sharded along their largest
+    dimension divisible by the model-axis size; everything else is
+    replicated. At this model scale (~30 M params) TP is optional —
+    SURVEY.md §2.2 — but the rule gives real dp x tp shardings for the
+    multichip path and scales to wider variants unchanged.
+    """
+    config = config or Config()
+    axis = config.mesh_model_axis
+    n = mesh.shape[axis]
+    if n > 1 and np.prod(shape) >= min_elems:
+        divisible = [i for i, d in enumerate(shape) if d % n == 0 and d >= n]
+        if divisible:
+            dim = max(divisible, key=lambda i: shape[i])
+            spec = [None] * len(shape)
+            spec[dim] = axis
+            return NamedSharding(mesh, P(*spec))
+    return replicated(mesh)
+
+
+def shard_state(state, mesh: Mesh, config: Optional[Config] = None):
+    """device_put a train state with dp x tp shardings: every float
+    array leaf (params AND the optimizer moments, which mirror param
+    shapes) gets the tensor-parallel rule; scalars replicate."""
+    shardings = jax.tree_util.tree_map(
+        lambda leaf: param_sharding_for(getattr(leaf, "shape", ()), mesh, config),
+        state,
+    )
+    return jax.device_put(state, shardings)

@@ -123,3 +123,23 @@ def test_checkpoint_roundtrip(train_setup, tmp_path):
     state2, metrics = step_fn(restored, batch, jax.random.PRNGKey(4))
     assert int(state2.step) == int(state1.step) + 1
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_param_sharding_rule():
+    """Large matrices shard along the largest model-divisible dim; small
+    arrays and scalars replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    from styler_tpu.parallel import make_mesh, param_sharding_for
+
+    mesh = make_mesh(cfg, data=4, model=2)
+    big = param_sharding_for((1024, 512), mesh, cfg)
+    assert big.spec == P("model", None)
+    tall = param_sharding_for((256, 2048), mesh, cfg)
+    assert tall.spec == P(None, "model")
+    small = param_sharding_for((80,), mesh, cfg)
+    assert small.spec == P()
+    odd = param_sharding_for((257, 255), mesh, cfg)  # nothing divisible by 2
+    assert odd.spec == P()
+    scalar = param_sharding_for((), mesh, cfg)
+    assert scalar.spec == P()
