@@ -142,6 +142,14 @@ class MelFrontend:
     singleton (audio/tools.py:10-13).
     """
 
+    # Frame-count buckets: utterance lengths vary per file, and jit
+    # compiles per shape — without bucketing, preprocessing a real corpus
+    # would recompile for every utterance. The reflect padding is applied
+    # on the host BEFORE zero-padding to the bucket, so the first F true
+    # frames see exactly the reference framing (values match to f32 FFT
+    # rounding; the batched FFT vectorizes differently per bucket size).
+    _FRAME_BUCKET_BASE = 32
+
     def __init__(self, config):
         self.config = config
         self.n_fft = config.filter_length
@@ -157,17 +165,38 @@ class MelFrontend:
                 config.mel_fmax,
             )
         )
-        self._jitted = jax.jit(self._mel_energy)
+        self._jitted = jax.jit(self._mel_energy_prepadded)
 
-    def _mel_energy(self, audio: jnp.ndarray):
-        mag = stft_magnitude(audio, self.window, self.n_fft, self.hop_length)
+    def _mel_energy_prepadded(self, xp: jnp.ndarray):
+        """xp: already reflect+bucket padded; valid framing only."""
+        n_frames = (xp.shape[0] - self.n_fft) // self.hop_length + 1
+        idx = (
+            jnp.arange(n_frames)[:, None] * self.hop_length
+            + jnp.arange(self.n_fft)[None, :]
+        )
+        frames = xp[idx] * self.window[None, :]
+        mag = jnp.abs(jnp.fft.rfft(frames, n=self.n_fft, axis=-1)).T.astype(
+            jnp.float32
+        )
         mel = dynamic_range_compression(self.mel_basis @ mag)
         energy = jnp.linalg.norm(mag, axis=0)
         return mel, energy
 
-    def __call__(self, audio: jnp.ndarray):
-        """audio: [T] float in [-1, 1]. Returns (mel [n_mels, F], energy [F])."""
-        return self._jitted(audio)
+    def __call__(self, audio) -> tuple:
+        """audio: [T] float in [-1, 1]. Returns (mel [n_mels, F], energy [F])
+        with F = T // hop + 1 (reference stft.py frame count)."""
+        audio = np.asarray(audio, dtype=np.float32)
+        pad = self.n_fft // 2
+        xp = np.pad(audio, (pad, pad), mode="reflect")
+        F = len(audio) // self.hop_length + 1
+        base = self._FRAME_BUCKET_BASE
+        Fb = base
+        while Fb < F:
+            Fb *= 2
+        total = (Fb - 1) * self.hop_length + self.n_fft
+        xp = np.pad(xp, (0, max(0, total - len(xp))))
+        mel, energy = self._jitted(jnp.asarray(xp))
+        return np.asarray(mel)[:, :F], np.asarray(energy)[:F]
 
     def mel_spectrogram(self, audio: jnp.ndarray):
         """Alias matching the reference TacotronSTFT API (stft.py:141-160)."""

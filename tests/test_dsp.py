@@ -169,3 +169,27 @@ def test_griffin_lim_mel_roundtrip(config):
     b = np.asarray(mel2)[:, : a.shape[1]]
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.9, corr
+
+
+def test_frontend_bucketing_exact(config, rng):
+    import jax.numpy as jnp
+
+    """Bucket-padded front end matches the direct reflect-pad STFT for
+    arbitrary (odd) signal lengths (to f32 rounding — the batched FFT
+    vectorizes differently per bucket size)."""
+    from styler_tpu.dsp import MelFrontend, dynamic_range_compression, stft_magnitude
+
+    fe = MelFrontend(config)
+    for n in (1000, 22050, 30001, 8191):
+        wav = rng.standard_normal(n).astype(np.float32) * 0.3
+        mel, en = fe(wav)
+        F = n // config.hop_length + 1
+        assert mel.shape == (config.n_mel_channels, F) and en.shape == (F,)
+        mag = stft_magnitude(
+            jnp.asarray(wav), fe.window, fe.n_fft, fe.hop_length
+        )
+        mel_direct = np.asarray(dynamic_range_compression(fe.mel_basis @ mag))
+        np.testing.assert_allclose(mel, mel_direct, rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(
+            en, np.asarray(jnp.linalg.norm(mag, axis=0)), rtol=2e-6, atol=2e-6
+        )
