@@ -202,11 +202,14 @@ class MelFrontend:
         """Alias matching the reference TacotronSTFT API (stft.py:141-160)."""
         return self(audio)
 
-    def mel_to_wav(self, mel_log: jnp.ndarray, n_iters: int = 30) -> jnp.ndarray:
+    def mel_to_wav(
+        self, mel_log: jnp.ndarray, n_iters: int = 30, momentum: float = 0.99
+    ) -> jnp.ndarray:
         """Griffin-Lim vocoder fallback (reference audio/tools.py:58-74):
         log-mel [n_mels, F] -> waveform, fully on device. Inverts the log
         compression, maps mel -> linear magnitudes with the pseudo-inverse
-        filterbank, then runs Griffin-Lim phase reconstruction."""
+        filterbank, then runs accelerated Griffin-Lim phase
+        reconstruction (momentum=0 for the reference's plain variant)."""
         if not hasattr(self, "_mel_pinv"):
             import numpy as _np
 
@@ -216,9 +219,12 @@ class MelFrontend:
 
         def invert(m):
             mag = jnp.maximum(self._mel_pinv @ dynamic_range_decompression(m), 0.0)
-            return griffin_lim(mag, self.window, self.n_fft, self.hop_length, n_iters)
+            return griffin_lim(
+                mag, self.window, self.n_fft, self.hop_length, n_iters,
+                momentum=momentum,
+            )
 
-        return jax.jit(invert)(mel_log)
+        return jax.jit(invert, static_argnames=())(mel_log)
 
 
 def griffin_lim(
@@ -228,11 +234,17 @@ def griffin_lim(
     hop_length: int,
     n_iters: int = 30,
     key: jax.Array | None = None,
+    momentum: float = 0.0,
 ) -> jnp.ndarray:
     """Griffin-Lim phase reconstruction (reference audio_processing.py:61-77).
 
     magnitudes: [n_freq, n_frames]. Returns the time-domain signal.
     Uses jnp.fft.irfft + overlap-add; runs fully on device under jit.
+
+    momentum > 0 enables the accelerated ("fast") variant (Perraudin et
+    al. 2013): extrapolate the projected spectrum by
+    ``c + momentum * (c - c_prev)`` each iteration — converges in far
+    fewer iterations. momentum = 0 is the reference's plain algorithm.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -251,12 +263,17 @@ def griffin_lim(
         sig = jnp.where(wss > 1e-11, sig / jnp.maximum(wss, 1e-11), sig)
         return sig[n_fft // 2: -(n_fft // 2)]
 
-    def body(_, carry):
-        phase = carry
+    def reprojected(phase):
         sig = istft(magnitudes, phase)
         frames = frame_signal(sig, n_fft, hop_length) * window[None, :]
-        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1).T
-        return jnp.angle(spec)[:, :n_frames]
+        return jnp.fft.rfft(frames, n=n_fft, axis=-1).T[:, :n_frames]
 
-    phase = jax.lax.fori_loop(0, n_iters, body, angles)
+    def body(_, carry):
+        phase, prev_spec = carry
+        spec = reprojected(phase)
+        accel = spec + momentum * (spec - prev_spec)
+        return jnp.angle(accel), spec
+
+    init_spec = magnitudes * jnp.exp(1j * angles)
+    phase, _ = jax.lax.fori_loop(0, n_iters, body, (angles, init_spec))
     return istft(magnitudes, phase)
