@@ -45,6 +45,10 @@ def main():
     parser.add_argument("--batch", action="store_true",
                         help="synthesize all sentences in ONE jitted batched "
                              "forward, sharded over all devices")
+    parser.add_argument("--vocoder", type=str, default=None,
+                        choices=["HiFi-GAN", "MelGAN", "WaveGlow"],
+                        help="vocoder family (reference hp.vocoder, "
+                             "hparams.py:19); default HiFi-GAN")
     args = parser.parse_args()
 
     import numpy as np
@@ -64,6 +68,8 @@ def main():
         cfg = cfg.replace(src_buckets=tuple(args.src_buckets))
     if args.mel_buckets:
         cfg = cfg.replace(mel_buckets=tuple(args.mel_buckets))
+    if args.vocoder:
+        cfg = cfg.replace(vocoder=args.vocoder)
 
     synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt)
     outdir = args.outdir or cfg.test_path()

@@ -97,3 +97,29 @@ def load_reference_hifigan(path: str):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt["generator"] if "generator" in ckpt else ckpt
     return import_hifigan_state(state)
+
+
+def load_reference_vocoder(path: str, name: str = "HiFi-GAN"):
+    """Load a torch vocoder checkpoint -> flax params, keyed on the
+    reference's ``hp.vocoder`` names (reference utils.py:235-271)."""
+    if name == "HiFi-GAN":
+        return load_reference_hifigan(path)
+    if name == "MelGAN":
+        import torch
+
+        from styler_tpu.core.import_torch import import_melgan_state
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        state = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+        return import_melgan_state(state)
+    if name == "WaveGlow":
+        import torch
+
+        from styler_tpu.core.import_torch import import_waveglow_state
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        if not isinstance(ckpt, dict):  # torch.hub ships the module itself
+            ckpt = ckpt.state_dict()
+        state = ckpt.get("state_dict", ckpt)
+        return import_waveglow_state(state)
+    raise ValueError(f"no importer for vocoder {name!r}")

@@ -234,3 +234,93 @@ def import_hifigan_state(torch_state: Dict, config=None) -> Dict:
                 block[f"convs2_{c}"] = _wn_conv1d(sd, f"resblocks.{flat}.convs2.{c}")
             params[f"resblocks_{i}_{j}"] = block
     return params
+
+
+# ----------------------------------------------------------------------
+# MelGAN (descriptinc/melgan-neurips)
+# ----------------------------------------------------------------------
+
+
+def import_melgan_state(torch_state: Dict, config=None) -> Dict:
+    """torch.hub melgan-neurips state dict -> flax params for
+    vocoder.MelGANGenerator.
+
+    The hub checkpoint is an nn.Sequential named ``model`` (optionally
+    nested under the MelVocoder wrapper's ``mel2wav.`` prefix). Layout
+    per stage i with n_residual_layers R: conv-transpose at index
+    3 + i*(2+R), residual blocks right after; head conv at index 1,
+    tail conv at 2 + len(ratios)*(2+R) + 2. All convs weight-normalized
+    (folded here, like the reference's remove_weight_norm at load).
+    """
+    from styler_tpu.vocoder.melgan import MelGANConfig
+
+    cfg = config or MelGANConfig()
+    sd = {
+        (k[len("mel2wav."):] if k.startswith("mel2wav.") else k): v
+        for k, v in strip_module_prefix(torch_state).items()
+    }
+    R = cfg.n_residual_layers
+    params = {"conv_in": _wn_conv1d(sd, "model.1")}
+    for i in range(len(cfg.ratios)):
+        base = 3 + i * (2 + R)
+        params[f"ups_{i}"] = _wn_convtranspose1d(sd, f"model.{base}")
+        for j in range(R):
+            blk = f"model.{base + 1 + j}"
+            params[f"res_{i}_{j}"] = {
+                "conv_dilated": _wn_conv1d(sd, f"{blk}.block.2"),
+                "conv_1x1": _wn_conv1d(sd, f"{blk}.block.4"),
+                "shortcut": _wn_conv1d(sd, f"{blk}.shortcut"),
+            }
+    tail = 2 + len(cfg.ratios) * (2 + R) + 2
+    params["conv_out"] = _wn_conv1d(sd, f"model.{tail}")
+    return params
+
+
+# ----------------------------------------------------------------------
+# WaveGlow (nvidia/DeepLearningExamples torchhub)
+# ----------------------------------------------------------------------
+
+
+def import_waveglow_state(torch_state: Dict, config=None) -> Dict:
+    """torch WaveGlow state dict -> flax params for vocoder.WaveGlow.
+
+    Handles both WN conditioning variants (fused ``cond_layer`` and the
+    older per-layer ``cond_layers.{i}``, concatenated into the fused
+    layout), folds weight norm everywhere, and stores each invertible
+    1x1 conv *pre-inverted* (torch inverts lazily at first infer,
+    glow.py Invertible1x1Conv.forward(reverse=True)).
+    """
+    from styler_tpu.vocoder.waveglow import WaveGlowConfig
+
+    cfg = config or WaveGlowConfig()
+    sd = strip_module_prefix(torch_state)
+    params = {
+        "upsample_kernel": _wn_convtranspose1d(sd, "upsample")["kernel"],
+        "upsample_bias": _np(sd["upsample.bias"]),
+    }
+    for k in range(cfg.n_flows):
+        w = _fold_weight_norm(sd, f"convinv.{k}.conv")[:, :, 0]
+        params[f"convinv_{k}"] = np.linalg.inv(w).astype(np.float32)
+
+        wn_key = f"WN.{k}"
+        wn = {
+            "start": _wn_conv1d(sd, f"{wn_key}.start"),
+            "end": _wn_conv1d(sd, f"{wn_key}.end"),
+        }
+        if f"{wn_key}.cond_layer.bias" in sd or f"{wn_key}.cond_layer.weight_v" in sd:
+            wn["cond_layer"] = _wn_conv1d(sd, f"{wn_key}.cond_layer")
+        else:  # per-layer conditioning: concat on the output-channel axis
+            kernels, biases = [], []
+            for i in range(cfg.wn_layers):
+                c = _wn_conv1d(sd, f"{wn_key}.cond_layers.{i}")
+                kernels.append(c["kernel"])
+                biases.append(c["bias"])
+            wn["cond_layer"] = {
+                "kernel": np.concatenate(kernels, axis=-1),
+                "bias": np.concatenate(biases, axis=-1),
+            }
+        for i in range(cfg.wn_layers):
+            wn[f"in_layer_{i}"] = _wn_conv1d(sd, f"{wn_key}.in_layers.{i}")
+            wn[f"res_skip_{i}"] = _wn_conv1d(sd, f"{wn_key}.res_skip_layers.{i}")
+        params[f"wn_{k}"] = wn
+    return params

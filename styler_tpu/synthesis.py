@@ -31,7 +31,7 @@ from styler_tpu.dsp.mel import MelFrontend
 from styler_tpu.dsp.pitch import get_f0, get_f0_noisy
 from styler_tpu.models import STYLER
 from styler_tpu.textproc import G2p, text_to_sequence, to_phoneme_string
-from styler_tpu.vocoder import Generator
+from styler_tpu.vocoder import make_generator
 
 
 @dataclasses.dataclass
@@ -82,7 +82,7 @@ class Synthesizer:
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.frontend = MelFrontend(config)
         self.g2p = G2p()
-        self.generator = Generator()
+        self.generator = make_generator(config.vocoder)
         if vocoder_params is None:
             self.vocoder_variables = jax.jit(self.generator.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, 8, config.n_mel_channels))
@@ -435,7 +435,7 @@ def load_synthesizer(
 
     vocoder_params = None
     if vocoder_path and os.path.exists(vocoder_path):
-        from styler_tpu.core.checkpoint import load_reference_hifigan
+        from styler_tpu.core.checkpoint import load_reference_vocoder
 
-        vocoder_params = load_reference_hifigan(vocoder_path)
+        vocoder_params = load_reference_vocoder(vocoder_path, config.vocoder)
     return Synthesizer(config, params, batch_stats, vocoder_params)

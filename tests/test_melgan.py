@@ -1,0 +1,134 @@
+"""MelGAN vocoder port: parity vs a torch rebuild of the
+descriptinc/melgan-neurips Generator (the reference's hp.vocoder ==
+"MelGAN" option, reference utils.py:239-248,278), including the
+nn.Sequential index layout the weight importer decodes and the
+mel/log(10) input contract."""
+
+import numpy as np
+import torch
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from styler_tpu.core.import_torch import import_melgan_state
+from styler_tpu.vocoder import MelGANConfig, MelGANGenerator, make_generator
+
+
+def _wn_conv(*a, **kw):
+    return tnn.utils.weight_norm(tnn.Conv1d(*a, **kw))
+
+
+class _TorchResnetBlock(tnn.Module):
+    """melgan-neurips mel2wav/modules.py ResnetBlock."""
+
+    def __init__(self, dim, dilation):
+        super().__init__()
+        self.block = tnn.Sequential(
+            tnn.LeakyReLU(0.2),
+            tnn.ReflectionPad1d(dilation),
+            _wn_conv(dim, dim, 3, dilation=dilation),
+            tnn.LeakyReLU(0.2),
+            _wn_conv(dim, dim, 1),
+        )
+        self.shortcut = _wn_conv(dim, dim, 1)
+
+    def forward(self, x):
+        return self.shortcut(x) + self.block(x)
+
+
+def _torch_melgan(cfg: MelGANConfig) -> tnn.Module:
+    """melgan-neurips Generator as one nn.Sequential named ``model`` —
+    the exact key layout import_melgan_state decodes."""
+    mult = 2 ** len(cfg.ratios)
+    layers = [
+        tnn.ReflectionPad1d(3),
+        _wn_conv(cfg.num_mels, mult * cfg.ngf, 7),
+    ]
+    for r in cfg.ratios:
+        layers += [
+            tnn.LeakyReLU(0.2),
+            tnn.utils.weight_norm(
+                tnn.ConvTranspose1d(
+                    mult * cfg.ngf,
+                    mult * cfg.ngf // 2,
+                    2 * r,
+                    stride=r,
+                    padding=r // 2 + r % 2,
+                    output_padding=r % 2,
+                )
+            ),
+        ]
+        layers += [
+            _TorchResnetBlock(mult * cfg.ngf // 2, 3**j)
+            for j in range(cfg.n_residual_layers)
+        ]
+        mult //= 2
+    layers += [
+        tnn.LeakyReLU(0.2),
+        tnn.ReflectionPad1d(3),
+        _wn_conv(cfg.ngf, 1, 7),
+        tnn.Tanh(),
+    ]
+    net = tnn.Module()
+    net.model = tnn.Sequential(*layers)
+    return net
+
+
+def test_melgan_parity_small_config(rng):
+    cfg = MelGANConfig(num_mels=10, ngf=4, n_residual_layers=2, ratios=(4, 2))
+    torch.manual_seed(0)
+    tg = _torch_melgan(cfg)
+    tg.eval()
+    # natural-log mel in [our contract]; torch twin gets it / ln(10)
+    mel = rng.standard_normal((2, cfg.num_mels, 24)).astype(np.float32)
+    with torch.no_grad():
+        golden = tg.model(torch.from_numpy(mel / np.log(10.0, dtype=np.float32))).numpy()[:, 0]
+
+    params = import_melgan_state(tg.state_dict(), cfg)
+    gen = MelGANGenerator(cfg, compute_dtype=jnp.float32)
+    got = np.asarray(gen.apply({"params": params}, jnp.asarray(mel.transpose(0, 2, 1))))
+    assert got.shape == golden.shape == (2, 24 * 8)
+    np.testing.assert_allclose(got, golden, rtol=1e-3, atol=2e-5)
+
+
+def test_melgan_importer_accepts_mel2wav_prefix(rng):
+    """torch.hub wraps the generator as MelVocoder.mel2wav — the importer
+    strips that prefix."""
+    cfg = MelGANConfig(num_mels=6, ngf=2, n_residual_layers=1, ratios=(2,))
+    torch.manual_seed(1)
+    tg = _torch_melgan(cfg)
+    sd = {f"mel2wav.{k}": v for k, v in tg.state_dict().items()}
+    p1 = import_melgan_state(sd, cfg)
+    p2 = import_melgan_state(tg.state_dict(), cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_melgan_full_config_hop():
+    cfg = MelGANConfig()
+    assert int(np.prod(cfg.ratios)) == 256  # hop_length at 22050 Hz
+
+
+def test_make_generator_factory():
+    import pytest
+
+    from styler_tpu.vocoder.hifigan import Generator
+
+    assert isinstance(make_generator("HiFi-GAN"), Generator)
+    assert isinstance(make_generator("MelGAN"), MelGANGenerator)
+    with pytest.raises(ValueError, match="WaveGlow|Griffin"):
+        make_generator("WaveGlow")
+
+
+def test_melgan_in_synthesizer_contract(rng):
+    """MelGAN slots into the Synthesizer vocoder seat: random init,
+    correct output length (T*256), bounded waveform."""
+    gen = make_generator("MelGAN", compute_dtype=jnp.float32)
+    mel = jnp.asarray(rng.standard_normal((1, 8, 80)).astype(np.float32))
+    v = jax.jit(gen.init)(jax.random.PRNGKey(0), mel)
+    wav = np.asarray(gen.apply(v, mel))
+    assert wav.shape == (1, 8 * 256)
+    assert np.abs(wav).max() <= 1.0
