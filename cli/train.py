@@ -24,6 +24,11 @@ def main():
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--preprocessed", type=str, default=None,
                         help="override preprocessed base dir")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host: coordinator host:port for "
+                             "jax.distributed (one process per host)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
 
     # XLA:TPU's space-to-batch pass crashes on the backprop convs at small
@@ -46,7 +51,19 @@ def main():
         prefetch,
         strip_host_fields,
     )
-    from styler_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from styler_tpu.parallel import (
+        init_distributed,
+        make_hybrid_mesh,
+        make_mesh,
+        replicate_state,
+        shard_batch,
+    )
+
+    if init_distributed(args.coordinator, args.num_processes, args.process_id):
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()},"
+            f" {jax.device_count()} global devices"
+        )
     from styler_tpu.train import create_train_state, eval_step, make_jitted_train_step
     from styler_tpu.utils import (
         StepTimer,
@@ -94,10 +111,19 @@ def main():
     # data axis must divide the per-step batch; use as many devices as fit
     import math
 
-    n_data = math.gcd(cfg.batch_size, len(jax.devices()))
-    mesh = make_mesh(cfg, data=n_data, devices=jax.devices()[:n_data])
-    if n_data < len(jax.devices()):
-        print(f"mesh: using {n_data}/{len(jax.devices())} devices (batch divisibility)")
+    num_slices = len({getattr(d, "slice_index", 0) for d in jax.devices()})
+    if num_slices > 1:
+        # multi-slice: DP spans DCN, anything else stays on ICI
+        mesh = make_hybrid_mesh(cfg)
+        assert cfg.batch_size % mesh.shape[cfg.mesh_data_axis] == 0, (
+            f"batch {cfg.batch_size} not divisible over "
+            f"{mesh.shape[cfg.mesh_data_axis]} data-parallel devices"
+        )
+    else:
+        n_data = math.gcd(cfg.batch_size, len(jax.devices()))
+        mesh = make_mesh(cfg, data=n_data, devices=jax.devices()[:n_data])
+        if n_data < len(jax.devices()):
+            print(f"mesh: using {n_data}/{len(jax.devices())} devices (batch divisibility)")
     step_fn = make_jitted_train_step(model, cfg, donate=True)
     log_path = cfg.log_path()
     os.makedirs(log_path, exist_ok=True)

@@ -25,7 +25,7 @@ from styler_tpu.data.audio_io import read_wav_int
 from styler_tpu.data.textgrid import alignment_from_file
 from styler_tpu.dsp.features import energy_rescaling_np, f0_normalization_np
 from styler_tpu.dsp.mel import MelFrontend
-from styler_tpu.dsp.pitch import get_f0
+from styler_tpu.dsp.pitch import get_f0, track_f0_batch
 from styler_tpu.textproc.cleaners import CLEANERS
 
 SUBDIRS = (
@@ -123,15 +123,15 @@ class SpeakerEmbedder:
         return np.asarray(emb)
 
 
-def process_utterance(
+def load_aligned(
     in_dir: str,
     out_dir: str,
     dirname,
     basename: str,
     config: Config,
-    frontend: MelFrontend,
-) -> Optional[Tuple[str, float, float, float, float, int]]:
-    """One utterance → 6 npy files (reference vctk.py:167-224)."""
+) -> Optional[Tuple[np.ndarray, str, List[int]]]:
+    """TextGrid + wav → (trimmed wav, {phoneme} text, durations); None if
+    unaligned or the aligned span is empty (reference vctk.py:169-188)."""
     wav_path = os.path.join(in_dir, str(dirname), f"{basename}.wav")
     tg_path = os.path.join(out_dir, "TextGrid", str(dirname), f"{basename}.TextGrid")
     if not os.path.exists(tg_path):
@@ -149,9 +149,36 @@ def process_utterance(
     wav = wav[
         int(config.sampling_rate * start): int(config.sampling_rate * end)
     ].astype(np.float32)
+    return wav, text, duration
+
+
+def process_utterance(
+    in_dir: str,
+    out_dir: str,
+    dirname,
+    basename: str,
+    config: Config,
+    frontend: MelFrontend,
+    loaded: Optional[Tuple[np.ndarray, str, List[int]]] = None,
+    f0: Optional[np.ndarray] = None,
+) -> Optional[Tuple[str, float, float, float, float, int]]:
+    """One utterance → 6 npy files (reference vctk.py:167-224).
+
+    ``loaded``/``f0`` let build_from_path reuse staged wavs and f0 tracks
+    computed by the multithreaded batch tracker (dsp/pitch.py:
+    track_f0_batch); standalone callers omit them.
+    """
+    if loaded is None:
+        loaded = load_aligned(in_dir, out_dir, dirname, basename, config)
+    if loaded is None:
+        return None
+    wav, text, duration = loaded
 
     total = sum(duration)
-    f0 = get_f0(wav, config, duration)
+    if f0 is None:
+        f0 = get_f0(wav, config, duration)
+    else:
+        f0 = np.asarray(f0)[:total]
 
     mel, energy = frontend(np.asarray(wav) / config.max_wav_value)
     mel = np.asarray(mel).astype(np.float32)[:, :total]
@@ -250,27 +277,54 @@ def build_from_path(in_dir: str, out_dir: str, config: Config):
                 if f.endswith(".txt") and f[:-4] not in unaligned:
                     file_paths.append((Path(dirpath).relative_to(in_dir), f))
         random.shuffle(file_paths)
+        # Stage a chunk of utterances, run the multithreaded native f0
+        # tracker over the whole chunk (one host thread per utterance —
+        # the preprocessing-throughput path, dsp/pitch.py:track_f0_batch),
+        # then finish each utterance with its precomputed track.
+        CHUNK = 16
+        staged = []  # (i, subdir, basename, loaded)
         for i, (subdir, filename) in enumerate(file_paths):
             basename = filename[:-4]
             try:
-                ret = process_utterance(
-                    in_dir, out_dir, subdir, basename, config, frontend
-                )
+                loaded = load_aligned(in_dir, out_dir, subdir, basename, config)
             except Exception:
                 errors.append(basename)
                 continue
-            if ret is None:
+            if loaded is None:
                 dirty.append(basename)
                 continue
-            info, f_max, f_min, e_max, e_min, n = ret
-            (val if i == 0 else train).append(info)
-            f0_max = max(f0_max, f_max)
-            f0_min = min(f0_min, f_min) if f_min > 0 else f0_min
-            energy_max = max(energy_max, e_max)
-            energy_min = min(energy_min, e_min)
-            n_frames += n
-            max_text_len = max(max_text_len, len(info.split("|")[-1]))
-            max_mel_len = max(max_mel_len, n)
+            staged.append((i, subdir, basename, loaded))
+
+        for c0 in range(0, len(staged), CHUNK):
+            chunk = staged[c0: c0 + CHUNK]
+            f0s = track_f0_batch(
+                [ld[0] for (_, _, _, ld) in chunk],
+                config.sampling_rate,
+                config.hop_length,
+                config.f0_min,
+                config.f0_max,
+            )
+            for (i, subdir, basename, loaded), f0 in zip(chunk, f0s):
+                try:
+                    ret = process_utterance(
+                        in_dir, out_dir, subdir, basename, config, frontend,
+                        loaded=loaded, f0=f0,
+                    )
+                except Exception:
+                    errors.append(basename)
+                    continue
+                if ret is None:
+                    dirty.append(basename)
+                    continue
+                info, f_max, f_min, e_max, e_min, n = ret
+                (val if i == 0 else train).append(info)
+                f0_max = max(f0_max, f_max)
+                f0_min = min(f0_min, f_min) if f_min > 0 else f0_min
+                energy_max = max(energy_max, e_max)
+                energy_min = min(energy_min, e_min)
+                n_frames += n
+                max_text_len = max(max_text_len, len(info.split("|")[-1]))
+                max_mel_len = max(max_mel_len, n)
 
     stats = [
         f"Total files: {len(train) + len(val)}",

@@ -166,6 +166,65 @@ def track_f0(
     return _frame_f0_numpy(wav, sampling_rate, hop_length, f0_min, f0_max, robust)
 
 
+def track_f0_batch(
+    wavs,
+    sampling_rate: int = 22050,
+    hop_length: int = 256,
+    f0_min: float = 71.0,
+    f0_max: float = 797.9,
+    robust: bool = False,
+    backend: Optional[str] = None,
+):
+    """f0 for a batch of utterances — the preprocessing-throughput path.
+
+    Uses the native ``styler_track_f0_batch`` (one host thread per
+    utterance, native/styler_dsp.cpp:164) when available; falls back to
+    a serial :func:`track_f0` loop. Returns one array per input wav.
+    """
+    wavs = [np.ascontiguousarray(w, dtype=np.float32) for w in wavs]
+    lib = None if backend == "numpy" else _load_native()
+    if lib is not None and wavs and all(len(w) > 0 for w in wavs):
+        if not hasattr(lib, "_batch_bound"):
+            lib.styler_track_f0_batch.restype = ctypes.c_int
+            lib.styler_track_f0_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_float),  # concatenated signals
+                ctypes.POINTER(ctypes.c_int),  # lengths
+                ctypes.c_int,  # n utterances
+                ctypes.c_int,  # sample rate
+                ctypes.c_int,  # hop
+                ctypes.c_float,  # f0 min
+                ctypes.c_float,  # f0 max
+                ctypes.c_int,  # robust
+                ctypes.POINTER(ctypes.c_float),  # concatenated outputs
+            ]
+            lib._batch_bound = True
+        lengths = np.asarray([len(w) for w in wavs], dtype=np.int32)
+        sig = np.concatenate(wavs)
+        out_lens = lengths // hop_length + 1
+        out = np.zeros(int(out_lens.sum()), dtype=np.float32)
+        rc = lib.styler_track_f0_batch(
+            sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            len(wavs),
+            sampling_rate,
+            hop_length,
+            f0_min,
+            f0_max,
+            1 if robust else 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc == 0:
+            offs = np.concatenate([[0], np.cumsum(out_lens)])
+            return [
+                out[offs[i]: offs[i + 1]].astype(np.float64)
+                for i in range(len(wavs))
+            ]
+    return [
+        track_f0(w, sampling_rate, hop_length, f0_min, f0_max, robust, backend)
+        for w in wavs
+    ]
+
+
 def get_f0(wav: np.ndarray, config, duration=None) -> np.ndarray:
     """Clean-speech f0 (reference dataset.py:32-37 contract)."""
     f0 = track_f0(

@@ -36,6 +36,72 @@ def make_mesh(
     return Mesh(dev_array, (config.mesh_data_axis, config.mesh_model_axis))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize multi-host JAX (one process per host) when requested.
+
+    The reference is single-host only (SURVEY.md §2.2: nn.DataParallel,
+    no comm backend). Multi-host here is pure plumbing: after
+    ``jax.distributed.initialize`` every host runs the same jitted SPMD
+    program over the global mesh and XLA routes collectives over
+    ICI within a slice and DCN across slices.
+
+    Returns True if distributed mode was initialized. No-ops (returns
+    False) when neither arguments nor the standard environment
+    (JAX_COORDINATOR_ADDRESS / TPU metadata autodetection) request it,
+    so single-host callers pay nothing.
+    """
+    import os
+
+    requested = coordinator_address or num_processes or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if not requested:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def make_hybrid_mesh(
+    config: Optional[Config] = None,
+    model: int = 1,
+    devices=None,
+) -> Mesh:
+    """DCN-aware (data x model) mesh for multi-slice topologies.
+
+    Data parallelism spans slices (gradient all-reduce crosses DCN once
+    per step — the only traffic this ~30 M-param model needs across the
+    slow links), while any model axis stays inside a slice so its
+    collectives ride ICI. Falls back to :func:`make_mesh` on
+    single-slice / CPU topologies, so callers can use it unconditionally.
+    """
+    config = config or Config()
+    devices = devices if devices is not None else jax.devices()
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    num_slices = len(slice_ids)
+    if num_slices <= 1:
+        return make_mesh(config, model=model, devices=devices)
+    from jax.experimental import mesh_utils
+
+    per_slice = len(devices) // num_slices
+    assert per_slice % model == 0, (
+        f"model axis {model} must divide the {per_slice} devices of a slice"
+    )
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_slice // model, model),
+        dcn_mesh_shape=(num_slices, 1),
+        devices=devices,
+    )
+    return Mesh(dev_array, (config.mesh_data_axis, config.mesh_model_axis))
+
+
 def batch_sharding(mesh: Mesh, config: Optional[Config] = None) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     config = config or Config()

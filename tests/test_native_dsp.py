@@ -99,3 +99,32 @@ def test_native_rejects_bad_args():
     rc = lib.styler_track_f0(None, 0, SR, HOP, ctypes.c_float(71.0),
                              ctypes.c_float(797.9), 0, None)
     assert rc == 1
+
+
+def test_track_f0_batch_python_api():
+    """dsp.pitch.track_f0_batch matches per-utterance track_f0 on every
+    backend (native when built, numpy fallback otherwise)."""
+    from styler_tpu.dsp.pitch import track_f0_batch
+
+    wavs = [
+        _synthetic_voiced(f0_hz=hz, seconds=s)
+        for hz, s in ((120.0, 0.8), (200.0, 1.0), (300.0, 0.9))
+    ]
+    batch = track_f0_batch(wavs, SR, HOP)
+    assert len(batch) == len(wavs)
+    for w, got in zip(wavs, batch):
+        single = track_f0(w, SR, HOP)
+        assert got.shape == single.shape == (len(w) // HOP + 1,)
+        both = (got > 0) & (single > 0)
+        assert ((got > 0) == (single > 0)).mean() > 0.95
+        if both.any():
+            assert np.abs(got[both] - single[both]).max() < 1.0
+
+
+def test_track_f0_batch_numpy_backend():
+    from styler_tpu.dsp.pitch import track_f0_batch
+
+    wavs = [_synthetic_voiced(f0_hz=150.0, seconds=0.8)]
+    got = track_f0_batch(wavs, SR, HOP, backend="numpy")[0]
+    single = track_f0(wavs[0], SR, HOP, backend="numpy")
+    np.testing.assert_array_equal(got, single)
