@@ -42,6 +42,25 @@ def _example_batch(cfg, B, L, M, seed=0):
     )
 
 
+def _make_vocode(gen, mel_frames):
+    """gen.apply, routed through the fused Pallas resblock path on TPU
+    (same dispatch rule as synthesis.Synthesizer._vocode)."""
+    import jax
+
+    from styler_tpu.vocoder.hifigan import (
+        generator_apply_fused,
+        generator_fused_supported,
+    )
+
+    if jax.default_backend() == "tpu" and generator_fused_supported(
+        mel_frames, gen.config
+    ):
+        return lambda v, m: generator_apply_fused(
+            v, m, gen.config, compute_dtype=gen.compute_dtype
+        )
+    return gen.apply
+
+
 def _build(cfg, B, L, M):
     import jax
     import jax.numpy as jnp
@@ -54,6 +73,7 @@ def _build(cfg, B, L, M):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
     gen = Generator()
     gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+    vocode = _make_vocode(gen, M)
 
     @jax.jit
     def synth(model_vars, voc_vars, batch, carry):
@@ -61,8 +81,8 @@ def _build(cfg, B, L, M):
         # (see _time for why both are required on this platform)
         batch = dict(batch, mel_target=batch["mel_target"] + carry)
         out = model.apply(model_vars, **batch, max_mel_len=M)
-        wav_clean = gen.apply(voc_vars, out.mel_postnet)
-        wav_noisy = gen.apply(voc_vars, out.mel_postnet_noisy)
+        wav_clean = vocode(voc_vars, out.mel_postnet)
+        wav_noisy = vocode(voc_vars, out.mel_postnet_noisy)
         return jnp.sum(wav_clean) + jnp.sum(wav_noisy)
 
     return synth, variables, gen_vars, batch
@@ -154,6 +174,7 @@ def bench_mix(cfg):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
     gen = Generator()
     gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+    vocode = _make_vocode(gen, M)
 
     # 8 combos per jitted call: 32 at once needs ~22 GB of HBM for the
     # HiFi-GAN intermediate activations (v5e has 16 GB)
@@ -166,7 +187,7 @@ def bench_mix(cfg):
         _, mel_postnet = model.apply(
             model_vars, style + carry, mel_mask, method="decode"
         )
-        return jnp.sum(gen.apply(voc_vars, mel_postnet))
+        return jnp.sum(vocode(voc_vars, mel_postnet))
 
     def decode_all(carry):
         for _ in range(32 // CHUNK):

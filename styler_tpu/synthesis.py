@@ -32,6 +32,10 @@ from styler_tpu.dsp.pitch import get_f0, get_f0_noisy
 from styler_tpu.models import STYLER
 from styler_tpu.textproc import G2p, text_to_sequence, to_phoneme_string
 from styler_tpu.vocoder import make_generator
+from styler_tpu.vocoder.hifigan import (
+    generator_apply_fused,
+    generator_fused_supported,
+)
 
 
 @dataclasses.dataclass
@@ -89,6 +93,28 @@ class Synthesizer:
             )
         else:
             self.vocoder_variables = {"params": vocoder_params}
+        # HiFi-GAN inference runs the fused Pallas resblock path
+        # (vocoder/hifigan.py:generator_apply_fused) whenever the static
+        # mel length supports it; opt out with STYLER_TPU_FUSED_VOCODER=0.
+        self._fused_vocoder = (
+            config.vocoder == "HiFi-GAN"
+            and os.environ.get("STYLER_TPU_FUSED_VOCODER", "1") != "0"
+            and jax.default_backend() == "tpu"
+        )
+
+    def _vocode(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """mel [B, T, 80] -> wav [B, T*hop]. Dispatches on the static mel
+        length (called under jit, so this Python branch is trace-time)."""
+        if self._fused_vocoder and generator_fused_supported(
+            mel.shape[1], self.generator.config
+        ):
+            return generator_apply_fused(
+                self.vocoder_variables,
+                mel,
+                self.generator.config,
+                compute_dtype=self.generator.compute_dtype,
+            )
+        return self.generator.apply(self.vocoder_variables, mel)
 
     # ------------------------------------------------------------------
 
@@ -130,10 +156,8 @@ class Synthesizer:
             p_control=p_control,
             e_control=e_control,
         )
-        wav_clean = self.generator.apply(self.vocoder_variables, out.mel_postnet)
-        wav_noisy = self.generator.apply(
-            self.vocoder_variables, out.mel_postnet_noisy
-        )
+        wav_clean = self._vocode(out.mel_postnet)
+        wav_noisy = self._vocode(out.mel_postnet_noisy)
         return out, wav_clean, wav_noisy
 
     def synthesize(
@@ -298,7 +322,7 @@ class Synthesizer:
         _, mel_postnet = self.model.apply(
             self.variables, style_out, mel_mask, method="decode"
         )
-        wav = self.generator.apply(self.vocoder_variables, mel_postnet)
+        wav = self._vocode(mel_postnet)
         return mel_postnet, wav, p_pred, e_pred, mel_mask
 
     def _mix_forward(

@@ -154,3 +154,98 @@ class Generator(nn.Module):
 def vocode(generator: Generator, variables, mel: jnp.ndarray) -> jnp.ndarray:
     """Jitted mel -> waveform. mel: [B, T, 80] channels-last."""
     return jax.jit(lambda v, m: generator.apply(v, m))(variables, mel)
+
+
+def generator_fused_supported(
+    mel_frames: int, config: HiFiGANConfig = HiFiGANConfig()
+) -> bool:
+    """Static check: can `generator_apply_fused` handle a mel of this
+    length? Replays the per-stage fold/block math of
+    ops/pallas_resblock.py:fused_resblock_stage — the fused kernel needs
+    each stage's block length (largest power-of-two-reduced divisor of
+    the folded length) to cover the receptive radius. True for every
+    default mel bucket (all multiples of 128)."""
+    from styler_tpu.ops.pallas_resblock import (
+        TARGET_LANES,
+        _block_rows_for,
+        _halo_for,
+    )
+
+    halo_samples = _halo_for(
+        config.resblock_kernel_sizes, config.resblock_dilation_sizes[0]
+    )
+    T = mel_frames
+    ch = config.upsample_initial_channel
+    for u in config.upsample_rates:
+        T *= u
+        ch //= 2
+        f = max(1, TARGET_LANES // ch)
+        while T % f:
+            f //= 2
+        Tf = T // f
+        halo = -(-halo_samples // f)
+        bt = _block_rows_for(f * ch)
+        while Tf % bt:
+            bt //= 2
+        if halo > bt:
+            return False
+    return True
+
+
+def generator_apply_fused(
+    variables,
+    mel: jnp.ndarray,
+    config: HiFiGANConfig = HiFiGANConfig(),
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Production inference fast path: Generator.__call__ with each
+    stage's 3-ResBlock set fused into one Pallas kernel
+    (ops/pallas_resblock.py — activations stay in VMEM; one HBM read +
+    write per stage instead of ~40). Numerically equivalent to
+    ``Generator(config, compute_dtype).apply(variables, mel)`` on the
+    same variables; pinned by tests/test_pallas_resblock.py.
+    """
+    from styler_tpu.ops.pallas_resblock import (
+        branch_params_from_variables,
+        fused_resblock_stage,
+    )
+
+    params = variables["params"] if "params" in variables else variables
+    cfg = config
+    dt = compute_dtype
+
+    def conv(name, x, dilation=1):
+        p = params[name]
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt),
+            p["kernel"].astype(dt),
+            (1,),
+            padding="SAME",
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + p["bias"].astype(dt)
+
+    x = conv("conv_pre", mel)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        p = params[f"ups_{i}"]
+        x = jax.lax.conv_general_dilated(
+            x.astype(dt),
+            p["kernel"].astype(dt),
+            (1,),
+            padding=[(k - 1 - (k - u) // 2,) * 2],
+            lhs_dilation=(u,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + p["bias"].astype(dt)
+        x = fused_resblock_stage(
+            x,
+            branch_params_from_variables(params, i),
+            kernel_sizes=tuple(cfg.resblock_kernel_sizes),
+            dilations=tuple(cfg.resblock_dilation_sizes[0]),
+            interpret=interpret,
+        )
+    x = nn.leaky_relu(x)
+    x = conv("conv_post", x)
+    return jnp.tanh(x.astype(jnp.float32))[..., 0]

@@ -116,11 +116,13 @@ def test_make_generator_factory():
     import pytest
 
     from styler_tpu.vocoder.hifigan import Generator
+    from styler_tpu.vocoder.waveglow import WaveGlow
 
     assert isinstance(make_generator("HiFi-GAN"), Generator)
     assert isinstance(make_generator("MelGAN"), MelGANGenerator)
-    with pytest.raises(ValueError, match="WaveGlow|Griffin"):
-        make_generator("WaveGlow")
+    assert isinstance(make_generator("WaveGlow"), WaveGlow)
+    with pytest.raises(ValueError, match="Griffin"):
+        make_generator("WaveNet")
 
 
 def test_melgan_in_synthesizer_contract(rng):
