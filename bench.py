@@ -301,11 +301,17 @@ def main():
         choices=["single", "batched", "mix", "preprocess", "train"],
         default="single",
     )
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="mixed-precision model compute (cli/train.py --bf16)",
+    )
     args = parser.parse_args()
 
     from styler_tpu.core.config import default_config
 
     cfg = default_config()
+    if args.bf16:
+        cfg = cfg.replace(compute_dtype="bfloat16")
     if args.config == "single":
         bench_synth(cfg, 1, 128, 1024, "e2e_text_to_waveform_rtf")
     elif args.config == "batched":

@@ -29,6 +29,10 @@ def main():
                              "jax.distributed (one process per host)")
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed precision: bf16 compute in the "
+                             "matmul/conv-heavy model paths (params, "
+                             "norms, LSTMs, losses, optimizer stay f32)")
     args = parser.parse_args()
 
     # XLA:TPU's space-to-batch pass crashes on the backprop convs at small
@@ -81,6 +85,8 @@ def main():
         cfg = cfg.replace(epochs=args.epochs)
     if args.preprocessed:
         cfg = cfg.replace(preprocessed_basedir=args.preprocessed)
+    if args.bf16:
+        cfg = cfg.replace(compute_dtype="bfloat16")
 
     dataset = Dataset(cfg, "train.txt")
     val_dataset = Dataset(cfg, "val.txt")

@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from styler_tpu.ops.recurrent import bilstm
+from styler_tpu.ops.recurrent import bilstm, fused_bilstm_branches
 from styler_tpu.ops.regulate import mel_calibrate
 
 
@@ -34,13 +34,20 @@ def _uniform_init(bound):
 
 
 class BiLSTM(nn.Module):
-    """Flax wrapper over ops.recurrent.bilstm with PyTorch-layout params."""
+    """Flax wrapper over ops.recurrent.bilstm with PyTorch-layout params.
+
+    ``collect_params=True`` declares the parameters (same names/shapes,
+    so checkpoints are unaffected) and returns them instead of running —
+    used by AudioEncoder to execute all four branch recurrences in one
+    merged scan (ops/recurrent.py:fused_bilstm_branches)."""
 
     hidden: int
     num_layers: int = 2
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, lengths: jnp.ndarray, collect_params: bool = False
+    ):
         bound = 1.0 / float(self.hidden) ** 0.5
         params = []
         in_dim = x.shape[-1]
@@ -63,20 +70,28 @@ class BiLSTM(nn.Module):
                 }
             params.append(lp)
             in_dim = 2 * self.hidden
+        if collect_params:
+            return params
         return bilstm(params, x, lengths)
 
 
 class ConvBranch(nn.Module):
-    """3x [Conv1d k5 SAME → GroupNorm → ReLU] (reference modules.py:103-160)."""
+    """3x [Conv1d k5 SAME → GroupNorm → ReLU] (reference modules.py:103-160).
+
+    Convs run in `dtype` (bf16 in mixed-precision mode); GroupNorm
+    statistics promote back to f32 (flax default with f32 params)."""
 
     dim: int
     chs_grp: int = 16
     n_layers: int = 3
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.n_layers):
-            x = nn.Conv(self.dim, (5,), padding="SAME", name=f"conv_{i}")(x)
+            x = nn.Conv(
+                self.dim, (5,), padding="SAME", dtype=self.dtype, name=f"conv_{i}"
+            )(x)
             x = nn.GroupNorm(num_groups=self.dim // self.chs_grp, name=f"gn_{i}")(x)
             x = nn.relu(x)
         return x
@@ -95,6 +110,7 @@ class AudioEncoder(nn.Module):
     neck_e: int = 64
     neck_r: int = 4
     chs_grp: int = 16
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(
@@ -119,10 +135,10 @@ class AudioEncoder(nn.Module):
             axis=-1,
         )
 
-        d = ConvBranch(self.enc_dim_d, self.chs_grp, name="convs_d")(d_in)
-        p = ConvBranch(self.enc_dim_p, self.chs_grp, name="convs_p")(f0_in)
-        e = ConvBranch(self.enc_dim_e, self.chs_grp, name="convs_e")(e_in)
-        r = ConvBranch(self.enc_dim_r, self.chs_grp, name="convs_r")(r_in)
+        d = ConvBranch(self.enc_dim_d, self.chs_grp, dtype=self.dtype, name="convs_d")(d_in)
+        p = ConvBranch(self.enc_dim_p, self.chs_grp, dtype=self.dtype, name="convs_p")(f0_in)
+        e = ConvBranch(self.enc_dim_e, self.chs_grp, dtype=self.dtype, name="convs_e")(e_in)
+        r = ConvBranch(self.enc_dim_r, self.chs_grp, dtype=self.dtype, name="convs_r")(r_in)
 
         cat = jnp.concatenate([d, p, e, r], axis=-1)  # [B, M, 1152]
         cat = mel_calibrate(cat, mel_len, seq_len, max_src)  # [B, S, 1152]
@@ -137,8 +153,29 @@ class AudioEncoder(nn.Module):
             axis=-1,
         )
 
-        duration_encoding = BiLSTM(self.neck_d, name="lstm_d")(d, seq_len)
-        pitch_encoding = BiLSTM(self.neck_p, name="lstm_p")(p, seq_len)
-        energy_encoding = BiLSTM(self.neck_e, name="lstm_e")(e, seq_len)
-        noise_encoding = BiLSTM(self.neck_r, name="lstm_r")(r, seq_len)
+        # All 4 bottleneck recurrences run as ONE merged scan per layer
+        # (block-diagonal combined cell + stacked directions): 2 serial
+        # chains per pass instead of 16. Bit-identical math to running
+        # the BiLSTMs apart. STYLER_TPU_PALLAS_LSTM=1 restores the
+        # per-branch path (to exercise ops/pallas_lstm.py).
+        from styler_tpu.ops.pallas_lstm import use_pallas_lstm
+
+        if use_pallas_lstm():
+            duration_encoding = BiLSTM(self.neck_d, name="lstm_d")(d, seq_len)
+            pitch_encoding = BiLSTM(self.neck_p, name="lstm_p")(p, seq_len)
+            energy_encoding = BiLSTM(self.neck_e, name="lstm_e")(e, seq_len)
+            noise_encoding = BiLSTM(self.neck_r, name="lstm_r")(r, seq_len)
+        else:
+            branch_params = [
+                BiLSTM(self.neck_d, name="lstm_d")(d, seq_len, collect_params=True),
+                BiLSTM(self.neck_p, name="lstm_p")(p, seq_len, collect_params=True),
+                BiLSTM(self.neck_e, name="lstm_e")(e, seq_len, collect_params=True),
+                BiLSTM(self.neck_r, name="lstm_r")(r, seq_len, collect_params=True),
+            ]
+            (
+                duration_encoding,
+                pitch_encoding,
+                energy_encoding,
+                noise_encoding,
+            ) = fused_bilstm_branches(branch_params, [d, p, e, r], seq_len)
         return duration_encoding, pitch_encoding, energy_encoding, noise_encoding

@@ -23,6 +23,7 @@ class StylePredictor(nn.Module):
     filter_size: int = 256
     kernel_size: int = 3
     dropout: float = 0.5
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(
@@ -32,7 +33,8 @@ class StylePredictor(nn.Module):
         out = x
         for i in range(2):
             out = nn.Conv(
-                self.filter_size, (self.kernel_size,), padding="SAME", name=f"conv1d_{i+1}"
+                self.filter_size, (self.kernel_size,), padding="SAME",
+                dtype=self.dtype, name=f"conv1d_{i+1}"
             )(out)
             out = nn.relu(out)
             out = nn.LayerNorm(name=f"layer_norm_{i+1}")(out)

@@ -71,6 +71,7 @@ class StyleModeling(nn.Module):
 
     def setup(self):
         cfg = self.config
+        dt = cfg.model_dtype
         self.text_encoder = TextEncoder(
             vocab_size=VOCAB_SIZE,
             max_seq_len=cfg.max_seq_len,
@@ -80,6 +81,7 @@ class StyleModeling(nn.Module):
             d_inner=cfg.fft_conv1d_filter_size,
             kernel_sizes=tuple(cfg.fft_conv1d_kernel_size),
             dropout=cfg.encoder_dropout,
+            dtype=dt,
         )
         self.audio_encoder = AudioEncoder(
             n_mel_channels=cfg.n_mel_channels,
@@ -94,6 +96,7 @@ class StyleModeling(nn.Module):
             neck_e=cfg.va_neck_hidden_e,
             neck_r=cfg.va_neck_hidden_r,
             chs_grp=cfg.va_chs_grp,
+            dtype=dt,
         )
         self.text_linear_down = nn.Dense(cfg.va_neck_hidden_t)
         self.speaker_linear_p = nn.Dense(cfg.va_neck_hidden_p * 2)
@@ -115,16 +118,19 @@ class StyleModeling(nn.Module):
             cfg.style_predictor_filter_size,
             cfg.style_predictor_kernel_size,
             cfg.style_predictor_dropout,
+            dtype=dt,
         )
         self.pitch_predictor = StylePredictor(
             cfg.style_predictor_filter_size,
             cfg.style_predictor_kernel_size,
             cfg.style_predictor_dropout,
+            dtype=dt,
         )
         self.energy_predictor = StylePredictor(
             cfg.style_predictor_filter_size,
             cfg.style_predictor_kernel_size,
             cfg.style_predictor_dropout,
+            dtype=dt,
         )
 
         self.pitch_embedding = nn.Embed(cfg.n_bins, cfg.encoder_hidden)

@@ -51,10 +51,14 @@ class STYLER(nn.Module):
             d_inner=cfg.fft_conv1d_filter_size,
             kernel_sizes=tuple(cfg.fft_conv1d_kernel_size),
             dropout=cfg.decoder_dropout,
+            dtype=cfg.model_dtype,
         )
+        # mel projection and losses stay f32 in mixed-precision mode
         self.mel_linear = nn.Dense(cfg.n_mel_channels)
         if self.use_postnet:
-            self.postnet = PostNet(n_mel_channels=cfg.n_mel_channels)
+            self.postnet = PostNet(
+                n_mel_channels=cfg.n_mel_channels, dtype=cfg.model_dtype
+            )
 
     def decode(
         self,

@@ -37,6 +37,7 @@ class MultiHeadAttention(nn.Module):
     n_head: int
     d_model: int
     dropout: float = 0.1
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, deterministic: bool):
@@ -44,9 +45,9 @@ class MultiHeadAttention(nn.Module):
         d_head = self.d_model // self.n_head
         B, T, _ = x.shape
 
-        q = nn.Dense(self.d_model, name="w_qs")(x)
-        k = nn.Dense(self.d_model, name="w_ks")(x)
-        v = nn.Dense(self.d_model, name="w_vs")(x)
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="w_qs")(x)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="w_ks")(x)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="w_vs")(x)
 
         def heads(t):
             return t.reshape(B, T, self.n_head, d_head)
@@ -62,7 +63,7 @@ class MultiHeadAttention(nn.Module):
             q, k, v, mask=~key_pad[:, None, None, :]
         ).reshape(B, T, self.d_model)
 
-        out = nn.Dense(self.d_model, name="fc")(out)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(name="layer_norm")(out + x)
         return out, None
@@ -73,16 +74,19 @@ class PositionwiseFeedForward(nn.Module):
     d_inner: int
     kernel_sizes: tuple = (9, 1)
     dropout: float = 0.1
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool):
         residual = x
         out = nn.Conv(
-            self.d_inner, (self.kernel_sizes[0],), padding="SAME", name="w_1"
+            self.d_inner, (self.kernel_sizes[0],), padding="SAME",
+            dtype=self.dtype, name="w_1"
         )(x)
         out = nn.relu(out)
         out = nn.Conv(
-            self.d_model, (self.kernel_sizes[1],), padding="SAME", name="w_2"
+            self.d_model, (self.kernel_sizes[1],), padding="SAME",
+            dtype=self.dtype, name="w_2"
         )(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(name="layer_norm")(out + residual)
@@ -94,6 +98,7 @@ class FFTBlock(nn.Module):
     n_head: int
     kernel_sizes: tuple = (9, 1)
     dropout: float = 0.1
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(
@@ -105,11 +110,12 @@ class FFTBlock(nn.Module):
     ):
         """pad_mask: [B, T] True at padding; attn_mask: [B, T, T]."""
         out, attn = MultiHeadAttention(
-            self.n_head, self.d_model, self.dropout, name="slf_attn"
+            self.n_head, self.d_model, self.dropout, self.dtype, name="slf_attn"
         )(x, attn_mask, deterministic)
         out = jnp.where(pad_mask[..., None], 0.0, out)
         out = PositionwiseFeedForward(
-            self.d_model, self.d_inner, self.kernel_sizes, self.dropout, name="pos_ffn"
+            self.d_model, self.d_inner, self.kernel_sizes, self.dropout,
+            self.dtype, name="pos_ffn"
         )(out, deterministic)
         out = jnp.where(pad_mask[..., None], 0.0, out)
         return out, attn
@@ -127,6 +133,7 @@ class TextEncoder(nn.Module):
     d_inner: int = 1024
     kernel_sizes: tuple = (9, 1)
     dropout: float = 0.2
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, src_seq: jnp.ndarray, src_mask: jnp.ndarray, deterministic=True):
@@ -154,6 +161,7 @@ class TextEncoder(nn.Module):
                 self.n_head,
                 self.kernel_sizes,
                 self.dropout,
+                self.dtype,
                 name=f"layer_{i}",
             )(x, src_mask, attn_mask, deterministic)
         return x
@@ -170,6 +178,7 @@ class MelDecoder(nn.Module):
     d_inner: int = 1024
     kernel_sizes: tuple = (9, 1)
     dropout: float = 0.2
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mel_mask: jnp.ndarray, deterministic=True):
@@ -190,6 +199,7 @@ class MelDecoder(nn.Module):
                 self.n_head,
                 self.kernel_sizes,
                 self.dropout,
+                self.dtype,
                 name=f"layer_{i}",
             )(x, mel_mask, attn_mask, deterministic)
         return x
@@ -204,6 +214,7 @@ class PostNet(nn.Module):
     kernel_size: int = 5
     n_convolutions: int = 5
     dropout: float = 0.5
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray, deterministic: bool = True, train: bool = False):
@@ -212,7 +223,8 @@ class PostNet(nn.Module):
             is_last = i == self.n_convolutions - 1
             features = self.n_mel_channels if is_last else self.embedding_dim
             x = nn.Conv(
-                features, (self.kernel_size,), padding="SAME", name=f"conv_{i}"
+                features, (self.kernel_size,), padding="SAME",
+                dtype=self.dtype, name=f"conv_{i}"
             )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, name=f"bn_{i}"

@@ -21,6 +21,7 @@ from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def flip_padded(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -100,6 +101,109 @@ def bilstm(
         h_bwd = flip_padded(h_bwd_rev, lengths)
         out = jnp.concatenate([h_fwd, h_bwd], axis=-1)
     return out
+
+
+def fused_bilstm_branches(
+    branch_params: List[List[Dict[str, Dict[str, Any]]]],
+    xs: List[jnp.ndarray],
+    lengths: jnp.ndarray,
+) -> List[jnp.ndarray]:
+    """Run several independent multi-layer BiLSTMs (same T, same lengths,
+    different widths) as ONE lax.scan per layer.
+
+    The reference runs its 4 audio-encoder bottleneck LSTMs
+    (modules.py:117-162) as separate nn.LSTM modules; under XLA each
+    direction is its own serial scan — 16 dependency chains of T steps
+    per audio-encoder pass. Here the branch recurrences are merged into
+    a block-diagonal combined cell (gate-major state layout
+    [i_all|f_all|g_all|o_all]) and the two directions are stacked on a
+    leading axis, so each layer is a single scan whose step does one
+    [2, B, Ht] x [2, Ht, 4Ht] einsum. Off-block weights are exactly
+    zero, so the math is bit-identical to running the branches apart
+    (same f32 HIGHEST accumulation; pinned by test_ops).
+
+    branch_params: per branch, the `bilstm` layer_params list.
+    xs: per branch input [B, T, In_b]. Returns per branch [B, T, 2H_b].
+    """
+    n_branches = len(branch_params)
+    n_layers = len(branch_params[0])
+    hiddens = [p[0]["fwd"]["w_hh"].shape[1] for p in branch_params]
+    Ht = sum(hiddens)
+    offs = np.cumsum([0] + hiddens)
+    B, T = xs[0].shape[0], xs[0].shape[1]
+
+    def gate_major(per_branch_gates):
+        """[B, T, 4H_b] per branch (torch gate order) -> [B, T, 4Ht]
+        with all branches' i gates first, then f, g, o."""
+        split = [jnp.split(g, 4, axis=-1) for g in per_branch_gates]
+        return jnp.concatenate(
+            [split[b][k] for k in range(4) for b in range(n_branches)], axis=-1
+        )
+
+    def combined_w_hh(per_branch):
+        """Per-branch w_hh [4H_b, H_b] -> block-diagonal [Ht, 4Ht]."""
+        W = jnp.zeros((Ht, 4 * Ht), jnp.float32)
+        for b, w in enumerate(per_branch):
+            H = hiddens[b]
+            for k in range(4):
+                W = W.at[
+                    offs[b] : offs[b] + H,
+                    k * Ht + offs[b] : k * Ht + offs[b] + H,
+                ].set(w[k * H : (k + 1) * H, :].T.astype(jnp.float32))
+        return W
+
+    outs = list(xs)
+    for layer in range(n_layers):
+        gx, whh = [], []
+        for d in ("fwd", "bwd"):
+            per_gates = []
+            for b in range(n_branches):
+                p = branch_params[b][layer][d]
+                x_b = outs[b] if d == "fwd" else flip_padded(outs[b], lengths)
+                per_gates.append(
+                    jnp.dot(
+                        x_b, p["w_ih"].T, precision=jax.lax.Precision.HIGHEST
+                    )
+                    + p["b_ih"]
+                    + p["b_hh"]
+                )
+            gx.append(gate_major(per_gates))
+            whh.append(
+                combined_w_hh(
+                    [branch_params[b][layer][d]["w_hh"] for b in range(n_branches)]
+                )
+            )
+        gx = jnp.stack(gx, axis=0)  # [2, B, T, 4Ht]
+        whh = jnp.stack(whh, axis=0)  # [2, Ht, 4Ht]
+
+        def step(carry, gx_t, whh=whh):
+            h, c = carry  # [2, B, Ht]
+            gates = gx_t + jnp.einsum(
+                "dbh,dhg->dbg", h, whh, precision=jax.lax.Precision.HIGHEST
+            )
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        init = (
+            jnp.zeros((2, B, Ht), gx.dtype),
+            jnp.zeros((2, B, Ht), gx.dtype),
+        )
+        _, hs = jax.lax.scan(step, init, gx.transpose(2, 0, 1, 3))
+        hs = hs.transpose(1, 2, 0, 3)  # [2, B, T, Ht]
+        h_bwd = flip_padded(hs[1], lengths)
+        outs = [
+            jnp.concatenate(
+                [
+                    hs[0][..., offs[b] : offs[b + 1]],
+                    h_bwd[..., offs[b] : offs[b + 1]],
+                ],
+                axis=-1,
+            )
+            for b in range(n_branches)
+        ]
+    return outs
 
 
 def init_bilstm_params(

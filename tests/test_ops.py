@@ -191,6 +191,29 @@ def test_bilstm_padded_matches_torch_packed(rng):
         np.testing.assert_allclose(got[b, :ln], golden[b, :ln], rtol=1e-4, atol=1e-5)
 
 
+def test_fused_bilstm_branches_matches_separate(rng):
+    """The merged block-diagonal scan == per-branch bilstm, with padded
+    lengths and the audio encoder's uneven neck widths."""
+    from styler_tpu.ops.recurrent import fused_bilstm_branches, init_bilstm_params
+
+    B, T = 3, 19
+    lengths = jnp.array([19, 11, 1])
+    widths = [(7, 5), (9, 3), (7, 2)]  # (input_dim, hidden) per branch
+    key = jax.random.PRNGKey(0)
+    branch_params, xs = [], []
+    for i, (in_dim, hidden) in enumerate(widths):
+        key, sub = jax.random.split(key)
+        branch_params.append(init_bilstm_params(sub, in_dim, hidden, num_layers=2))
+        xs.append(jnp.asarray(rng.standard_normal((B, T, in_dim)).astype(np.float32)))
+
+    fused = fused_bilstm_branches(branch_params, xs, lengths)
+    for bp, x, got in zip(branch_params, xs, fused):
+        golden = bilstm(bp, x, lengths)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(golden), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_gradient_reversal():
     def f(x):
         return jnp.sum(gradient_reversal(x, 1.0) ** 2)

@@ -96,6 +96,32 @@ def test_eval_step(train_setup):
     assert np.isfinite(float(components["total"]))
 
 
+def test_bf16_mixed_precision_step(train_setup):
+    """compute_dtype="bfloat16" (cli/train.py --bf16): params stay f32,
+    the step runs, and the loss lands near the f32 loss at init (bf16
+    only changes matmul/conv compute precision)."""
+    _, f32_state, batch = train_setup
+    f32_step = make_jitted_train_step(
+        create_train_state(cfg, jax.random.PRNGKey(0), batch)[0], cfg, donate=False
+    )
+    _, f32_metrics = f32_step(f32_state, batch, jax.random.PRNGKey(1))
+
+    bf_cfg = cfg.replace(compute_dtype="bfloat16")
+    model, state = create_train_state(bf_cfg, jax.random.PRNGKey(0), batch)
+    assert all(
+        l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(state.params)
+    )
+    step_fn = make_jitted_train_step(model, bf_cfg, donate=False)
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    total, f32_total = float(metrics["total"]), float(f32_metrics["total"])
+    assert np.isfinite(total)
+    assert abs(total - f32_total) / abs(f32_total) < 0.05, (total, f32_total)
+    assert all(
+        l.dtype == jnp.float32
+        for l in jax.tree_util.tree_leaves(new_state.params)
+    )
+
+
 def test_multichip_dryrun_8_devices():
     from __graft_entry__ import dryrun_multichip
 
