@@ -45,6 +45,11 @@ def main():
     parser.add_argument("--batch", action="store_true",
                         help="synthesize all sentences in ONE jitted batched "
                              "forward, sharded over all devices")
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed-precision acoustic model (bf16 "
+                             "compute; ~1.5x batched throughput — mel "
+                             "MAE vs f32 ~1e-2, duration rounding may "
+                             "shift a frame at bucket boundaries)")
     parser.add_argument("--vocoder", type=str, default=None,
                         choices=["HiFi-GAN", "MelGAN", "WaveGlow"],
                         help="vocoder family (reference hp.vocoder, "
@@ -60,6 +65,8 @@ def main():
     from styler_tpu.synthesis import extract_reference_features, load_synthesizer
 
     cfg = default_config().replace(version=args.version)
+    if args.bf16:
+        cfg = cfg.replace(compute_dtype="bfloat16")
     if args.ref_audio_dir:
         cfg = cfg.replace(ref_audio_dir=args.ref_audio_dir)
     if args.ref_tg_dir:
