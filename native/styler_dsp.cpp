@@ -190,3 +190,112 @@ int styler_track_f0_batch(const float* signals, const int* lengths,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Rational polyphase resampler (windowed-sinc, Kaiser beta 5.0).
+//
+// Replaces the reference's ffmpeg shell-out (reference data/resample.sh)
+// for wav inputs: sr_in -> sr_out via upsample-by-L / FIR / decimate-by-M
+// with the exact filter design of scipy.signal.resample_poly's default
+// (firwin(2*10*max(L,M)+1, 1/max(L,M), kaiser 5.0), DC gain 1) so the
+// Python golden test can pin it numerically.
+// ---------------------------------------------------------------------
+
+namespace {
+
+double bessel_i0(double x) {
+  // series expansion; converges fast for the beta*<=1 arguments used here
+  double sum = 1.0, term = 1.0;
+  const double half_x = 0.5 * x;
+  for (int k = 1; k < 64; ++k) {
+    term *= (half_x / k) * (half_x / k);
+    sum += term;
+    if (term < 1e-18 * sum) break;
+  }
+  return sum;
+}
+
+long gcd_long(long a, long b) { return b ? gcd_long(b, a % b) : a; }
+
+void resample_impl(const float* in, long n_in, long up, long down, float* out,
+                   long n_out, int n_threads) {
+  // scipy resample_poly filter design
+  const long max_rate = std::max(up, down);
+  const double f_c = 1.0 / (double)max_rate;
+  const long half_len = 10 * max_rate;
+  const long n_taps = 2 * half_len + 1;
+  std::vector<double> h(n_taps);
+  const double beta = 5.0;
+  const double i0b = bessel_i0(beta);
+  double dc = 0.0;
+  for (long k = 0; k < n_taps; ++k) {
+    const double m = (double)(k - half_len);
+    const double sinc =
+        m == 0.0 ? 1.0 : std::sin(M_PI * f_c * m) / (M_PI * f_c * m);
+    const double r = m / (double)half_len;  // in [-1, 1]
+    const double w = bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r)));
+    h[k] = f_c * sinc * (w / i0b);
+    dc += h[k];
+  }
+  for (long k = 0; k < n_taps; ++k) h[k] = h[k] / dc * (double)up;
+
+  // y[n] = sum_k h[k] * x_up[n*down + half_len - k]  (centered filter:
+  // scipy pre-pads h and drops the first (half_len+pad)/down outputs;
+  // folding the shift into the tap index is equivalent)
+  auto compute = [&](long n0, long n1) {
+    for (long n = n0; n < n1; ++n) {
+      const long p = n * down + half_len;  // upsampled-domain index
+      long j_lo = (p - n_taps + 1 + up - 1) / up;  // ceil
+      if (j_lo < 0) j_lo = 0;
+      long j_hi = p / up;  // floor
+      if (j_hi > n_in - 1) j_hi = n_in - 1;
+      double acc = 0.0;
+      for (long j = j_lo; j <= j_hi; ++j)
+        acc += h[p - j * up] * (double)in[j];
+      out[n] = (float)acc;
+    }
+  };
+
+  if (n_threads <= 1 || n_out < 4096) {
+    compute(0, n_out);
+    return;
+  }
+  std::vector<std::thread> pool;
+  const long chunk = (n_out + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const long a = t * chunk, b = std::min(n_out, a + chunk);
+    if (a < b) pool.emplace_back(compute, a, b);
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Resampled length for n_in samples at sr_in -> sr_out (scipy
+// resample_poly convention: ceil(n_in * up / down) after gcd reduction).
+long styler_resample_len(long n_in, int sr_in, int sr_out) {
+  if (n_in <= 0 || sr_in <= 0 || sr_out <= 0) return -1;
+  const long g = gcd_long(sr_in, sr_out);
+  const long up = sr_out / g, down = sr_in / g;
+  return (n_in * up + down - 1) / down;
+}
+
+// out must hold styler_resample_len(...) floats. Returns 0 on success.
+int styler_resample(const float* in, long n_in, int sr_in, int sr_out,
+                    float* out) {
+  const long n_out = styler_resample_len(n_in, sr_in, sr_out);
+  if (!in || !out || n_out < 0) return 1;
+  const long g = gcd_long(sr_in, sr_out);
+  const long up = sr_out / g, down = sr_in / g;
+  if (up == 1 && down == 1) {
+    std::memcpy(out, in, n_in * sizeof(float));
+    return 0;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  resample_impl(in, n_in, up, down, out, n_out, hw ? (int)hw : 1);
+  return 0;
+}
+
+}  // extern "C"

@@ -128,3 +128,77 @@ def test_track_f0_batch_numpy_backend():
     got = track_f0_batch(wavs, SR, HOP, backend="numpy")[0]
     single = track_f0(wavs[0], SR, HOP, backend="numpy")
     np.testing.assert_array_equal(got, single)
+
+
+# ----------------------------------------------------------------------
+# native resampler (styler_resample) vs scipy.signal.resample_poly
+# ----------------------------------------------------------------------
+
+
+def test_resample_matches_scipy_golden():
+    """The native polyphase resampler replicates scipy resample_poly's
+    default (kaiser 5.0) design numerically."""
+    from scipy.signal import resample_poly
+
+    from styler_tpu.dsp.resample import _lib, resample, resample_len
+
+    if _lib() is None:
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    for sr_in, sr_out in ((48000, 22050), (16000, 22050), (44100, 22050)):
+        x = rng.standard_normal(sr_in // 2).astype(np.float32)
+        got = resample(x, sr_in, sr_out)
+        from math import gcd
+
+        g = gcd(sr_in, sr_out)
+        golden = resample_poly(x.astype(np.float64), sr_out // g, sr_in // g)
+        assert got.shape == golden.shape == (resample_len(len(x), sr_in, sr_out),)
+        np.testing.assert_allclose(got, golden, rtol=1e-4, atol=1e-5)
+
+
+def test_resample_preserves_sine():
+    """A 440 Hz tone stays a 440 Hz tone (amplitude within 1%) through
+    48k -> 22.05k, checked via zero-crossing rate."""
+    from styler_tpu.dsp.resample import resample
+
+    sr_in, sr_out, f = 48000, 22050, 440.0
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * f * t).astype(np.float32)
+    y = resample(x, sr_in, sr_out)
+    mid = y[len(y) // 4 : -len(y) // 4]
+    assert abs(mid.max() - 1.0) < 0.01 and abs(mid.min() + 1.0) < 0.01
+    crossings = np.sum(np.diff(np.signbit(mid)))
+    f_est = crossings / 2 * sr_out / len(mid)
+    assert abs(f_est - f) < 2.0
+
+
+def test_resample_identity_and_cli(tmp_path):
+    """sr_in == sr_out copies; the CLI tool round-trips a wav tree."""
+    import subprocess
+    import sys
+
+    from scipy.io import wavfile
+
+    from styler_tpu.dsp.resample import resample
+
+    x = np.linspace(-0.5, 0.5, 1000).astype(np.float32)
+    np.testing.assert_array_equal(resample(x, 22050, 22050), x)
+
+    src_dir = tmp_path / "in" / "spk1"
+    src_dir.mkdir(parents=True)
+    sr_in = 48000
+    t = np.arange(sr_in // 4) / sr_in
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    wavfile.write(str(src_dir / "a.wav"), sr_in, wav)
+
+    out_dir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "cli/resample.py", "--in_dir", str(tmp_path / "in"),
+         "--out_dir", str(out_dir), "--sr", "22050", "--jobs", "1"],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert r.returncode == 0, r.stderr
+    sr, data = wavfile.read(str(out_dir / "spk1" / "a.wav"))
+    assert sr == 22050 and data.dtype == np.int16
+    assert abs(len(data) - (sr_in // 4) * 22050 // sr_in) <= 1
+    assert 0.3 < np.abs(data / 32767.0).max() < 0.5
