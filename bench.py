@@ -81,9 +81,12 @@ def _build(cfg, B, L, M):
         # (see _time for why both are required on this platform)
         batch = dict(batch, mel_target=batch["mel_target"] + carry)
         out = model.apply(model_vars, **batch, max_mel_len=M)
-        wav_clean = vocode(voc_vars, out.mel_postnet)
-        wav_noisy = vocode(voc_vars, out.mel_postnet_noisy)
-        return jnp.sum(wav_clean) + jnp.sum(wav_noisy)
+        # clean+noisy as one 2B vocoder pass (synthesis.py:_forward)
+        wavs = vocode(
+            voc_vars,
+            jnp.concatenate([out.mel_postnet, out.mel_postnet_noisy], axis=0),
+        )
+        return jnp.sum(wavs)
 
     return synth, variables, gen_vars, batch
 
@@ -263,10 +266,18 @@ def bench_train(cfg):
 
 
 def bench_preprocess(cfg):
-    """Preprocessing throughput: jitted STFT/mel/energy + native f0 on
-    synthetic 5 s utterances (BASELINE.md config 5)."""
+    """Preprocessing throughput (BASELINE.md config 5).
+
+    Metric: the BATCHED pipeline — 16 utterances, jitted vmapped
+    STFT/mel/energy + the on-device batched f0 tracker
+    (dsp/pitch_device.py) when an accelerator is up (native host
+    tracker otherwise). Detail includes the serial per-utterance path
+    (the original reference-shaped flow)."""
+    import jax
+    import jax.numpy as jnp
+
     from styler_tpu.dsp import MelFrontend
-    from styler_tpu.dsp.pitch import track_f0
+    from styler_tpu.dsp.pitch import track_f0, track_f0_batch
 
     fe = MelFrontend(cfg)
     seconds = 5.0
@@ -277,6 +288,7 @@ def bench_preprocess(cfg):
         np.float32
     )
 
+    # --- serial per-utterance path (original measurement) ---
     mel, en = fe(wav)  # compile
     np.asarray(mel)
     iters = 8
@@ -286,11 +298,39 @@ def bench_preprocess(cfg):
         np.asarray(en)
         track_f0(wav * 32768.0, cfg.sampling_rate, cfg.hop_length,
                  cfg.f0_min, cfg.f0_max)
-    dt = (time.perf_counter() - t0) / iters
+    dt_serial = (time.perf_counter() - t0) / iters
+
+    # --- batched path: vmapped mel front end + batched f0 ---
+    B = 16
+    wavs = [
+        (np.roll(wav, 17 * i) + 0.001 * i).astype(np.float32) for i in range(B)
+    ]  # distinct inputs (defeat memoization)
+    f0_backend = "device" if jax.default_backend() != "cpu" else None
+    fe.batch(wavs)  # compile
+    track_f0_batch(
+        [w * 32768.0 for w in wavs], cfg.sampling_rate, cfg.hop_length,
+        cfg.f0_min, cfg.f0_max, backend=f0_backend,
+    )  # compile
+    iters = 4
+    t0 = time.perf_counter()
+    for i in range(iters):
+        fe.batch([w + i * 1e-6 for w in wavs])
+        track_f0_batch(
+            [w * 32768.0 + i for w in wavs], cfg.sampling_rate,
+            cfg.hop_length, cfg.f0_min, cfg.f0_max, backend=f0_backend,
+        )
+    dt_batch = (time.perf_counter() - t0) / (iters * B)
+
     _emit(
         "preprocess_throughput_rtf",
-        seconds / dt,
-        {"utt_sec": seconds, "per_utt_ms": round(dt * 1e3, 1)},
+        seconds / dt_batch,
+        {
+            "utt_sec": seconds,
+            "batch": B,
+            "per_utt_ms": round(dt_batch * 1e3, 1),
+            "serial_rtf": round(seconds / dt_serial, 1),
+            "f0_backend": f0_backend or "native",
+        },
     )
 
 

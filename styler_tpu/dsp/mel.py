@@ -166,6 +166,7 @@ class MelFrontend:
             )
         )
         self._jitted = jax.jit(self._mel_energy_prepadded)
+        self._jitted_batch = jax.jit(jax.vmap(self._mel_energy_prepadded))
 
     def _mel_energy_prepadded(self, xp: jnp.ndarray):
         """xp: already reflect+bucket padded; valid framing only."""
@@ -201,6 +202,36 @@ class MelFrontend:
     def mel_spectrogram(self, audio: jnp.ndarray):
         """Alias matching the reference TacotronSTFT API (stft.py:141-160)."""
         return self(audio)
+
+    def batch(self, audios) -> list:
+        """Batched front end: list of [T_i] wavs -> list of
+        (mel [n_mels, F_i], energy [F_i]) — utterances sharing a frame
+        bucket run as ONE vmapped jitted program (the preprocessing-
+        throughput path; per-utterance outputs identical to ``__call__``).
+        """
+        pad = self.n_fft // 2
+        base = self._FRAME_BUCKET_BASE
+        prepped, groups = [], {}
+        for i, audio in enumerate(audios):
+            audio = np.asarray(audio, dtype=np.float32)
+            F = len(audio) // self.hop_length + 1
+            Fb = base
+            while Fb < F:
+                Fb *= 2
+            xp = np.pad(audio, (pad, pad), mode="reflect")
+            total = (Fb - 1) * self.hop_length + self.n_fft
+            prepped.append((np.pad(xp, (0, max(0, total - len(xp)))), F))
+            groups.setdefault(Fb, []).append(i)
+
+        out = [None] * len(audios)
+        for idxs in groups.values():
+            stack = jnp.asarray(np.stack([prepped[i][0] for i in idxs]))
+            mels, energies = self._jitted_batch(stack)
+            mels, energies = np.asarray(mels), np.asarray(energies)
+            for j, i in enumerate(idxs):
+                F = prepped[i][1]
+                out[i] = (mels[j][:, :F], energies[j][:F])
+        return out
 
     def mel_to_wav(
         self, mel_log: jnp.ndarray, n_iters: int = 30, momentum: float = 0.99

@@ -180,8 +180,14 @@ def track_f0_batch(
     Uses the native ``styler_track_f0_batch`` (one host thread per
     utterance, native/styler_dsp.cpp:164) when available; falls back to
     a serial :func:`track_f0` loop. Returns one array per input wav.
+    ``backend="device"`` runs the whole batch as ONE jitted program on
+    the accelerator (dsp/pitch_device.py) — fastest when a TPU is up.
     """
     wavs = [np.ascontiguousarray(w, dtype=np.float32) for w in wavs]
+    if backend == "device":
+        return _track_f0_batch_device(
+            wavs, sampling_rate, hop_length, f0_min, f0_max, robust
+        )
     lib = None if backend == "numpy" else _load_native()
     if lib is not None and wavs and all(len(w) > 0 for w in wavs):
         if not hasattr(lib, "_batch_bound"):
@@ -222,6 +228,37 @@ def track_f0_batch(
     return [
         track_f0(w, sampling_rate, hop_length, f0_min, f0_max, robust, backend)
         for w in wavs
+    ]
+
+
+def _track_f0_batch_device(
+    wavs, sampling_rate, hop_length, f0_min, f0_max, robust
+):
+    """Pad the batch to one static shape and run the jitted on-device
+    tracker (dsp/pitch_device.py). One compile per padded length —
+    lengths are bucketed to multiples of 64 hops to bound recompiles."""
+    import jax.numpy as jnp
+
+    from styler_tpu.dsp.pitch_device import track_f0_padded
+
+    if not wavs:
+        return []
+    bucket = 64 * hop_length
+    n_max = max(len(w) for w in wavs)
+    N = ((n_max + bucket - 1) // bucket) * bucket
+    x = np.zeros((len(wavs), N), np.float32)
+    for i, w in enumerate(wavs):
+        x[i, : len(w)] = w
+    n_real = np.asarray([len(w) for w in wavs], np.int32)
+    out = np.asarray(
+        track_f0_padded(
+            jnp.asarray(x), jnp.asarray(n_real), sampling_rate,
+            hop_length, f0_min, f0_max, robust,
+        )
+    )
+    return [
+        out[i, : len(w) // hop_length + 1].astype(np.float64)
+        for i, w in enumerate(wavs)
     ]
 
 

@@ -193,3 +193,74 @@ def test_frontend_bucketing_exact(config, rng):
         np.testing.assert_allclose(
             en, np.asarray(jnp.linalg.norm(mag, axis=0)), rtol=2e-6, atol=2e-6
         )
+
+
+# ----------------------------------------------------------------------
+# on-device f0 tracker (dsp/pitch_device.py) vs the numpy golden model
+# ----------------------------------------------------------------------
+
+
+def _voiced_wav(sr=22050, seconds=1.2, f0_hz=150.0, seed=0):
+    t = np.arange(int(sr * seconds)) / sr
+    rng = np.random.default_rng(seed)
+    wav = sum(
+        (0.6 / (k + 1)) * np.sin(2 * np.pi * f0_hz * (k + 1) * t)
+        for k in range(4)
+    )
+    gap = slice(int(0.42 * len(t)), int(0.54 * len(t)))
+    wav[gap] = 0.05 * rng.standard_normal(gap.stop - gap.start)
+    return wav.astype(np.float32)
+
+
+def test_device_f0_matches_numpy_golden():
+    """backend="device" matches the numpy model at the native tracker's
+    tolerance (interior frames; the last 2 frames may differ — the
+    device tracker zero-extends instead of truncating, see
+    pitch_device.py docstring)."""
+    from styler_tpu.dsp.pitch import _frame_f0_numpy, track_f0_batch
+
+    sr, hop = 22050, 256
+    wavs = [_voiced_wav(f0_hz=hz, seed=s) for hz, s in ((150.0, 0), (220.0, 1))]
+    got = track_f0_batch(wavs, sr, hop, backend="device")
+    for w, g in zip(wavs, got):
+        golden = _frame_f0_numpy(w, sr, hop, 71.0, 797.9, robust=False)
+        assert g.shape == golden.shape
+        g, golden = g[:-2], golden[:-2]
+        agree = (g > 0) == (golden > 0)
+        assert agree.mean() > 0.95, f"voicing agreement {agree.mean():.3f}"
+        both = (g > 0) & (golden > 0)
+        assert np.abs(g[both] - golden[both]).max() < 2.0
+
+
+def test_device_f0_batch_mixed_lengths():
+    """Shorter padded utterances get correct frame counts and zeros
+    beyond their real length inside the padded program."""
+    from styler_tpu.dsp.pitch import track_f0_batch
+
+    sr, hop = 22050, 256
+    wavs = [_voiced_wav(seconds=1.0), _voiced_wav(seconds=0.4, f0_hz=200.0)]
+    got = track_f0_batch(wavs, sr, hop, backend="device")
+    for w, g in zip(wavs, got):
+        assert g.shape == (len(w) // hop + 1,)
+        voiced = g > 0
+        assert voiced.mean() > 0.5  # mostly voiced synthetic signals
+        assert (g[voiced] > 71.0).all() and (g[voiced] < 798.0).all()
+
+
+def test_melfrontend_batch_matches_serial():
+    """fe.batch == fe(...) per utterance, across different frame buckets."""
+    from styler_tpu.core.config import default_config
+    from styler_tpu.dsp import MelFrontend
+
+    fe = MelFrontend(default_config())
+    rng = np.random.default_rng(0)
+    wavs = [
+        (0.3 * np.sin(2 * np.pi * 200 * np.arange(n) / 22050)
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        for n in (22050, 5000, 40000)
+    ]
+    batched = fe.batch(wavs)
+    for w, (mel_b, en_b) in zip(wavs, batched):
+        mel_s, en_s = fe(w)
+        np.testing.assert_allclose(mel_b, mel_s, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(en_b, en_s, rtol=1e-5, atol=1e-5)
