@@ -179,9 +179,11 @@ def bench_mix(cfg):
     gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
     vocode = _make_vocode(gen, M)
 
-    # 8 combos per jitted call: 32 at once needs ~22 GB of HBM for the
-    # HiFi-GAN intermediate activations (v5e has 16 GB)
-    CHUNK = 8
+    # With the fused Pallas vocoder (VMEM-resident stage activations) all
+    # 32 combos fit in ONE jitted call; the XLA conv path would need
+    # ~22 GB of HBM for the intermediates (v5e has 16 GB), so cap at 8
+    # per call there.
+    CHUNK = 32 if vocode is not gen.apply else 8
     style = jax.random.normal(jax.random.PRNGKey(2), (CHUNK, M, cfg.encoder_hidden))
     mel_mask = jnp.zeros((CHUNK, M), dtype=bool)
 

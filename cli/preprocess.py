@@ -17,6 +17,12 @@ def main():
     parser.add_argument("--skip_mfa", action="store_true",
                         help="TextGrids already present")
     parser.add_argument("--skip_align_prep", action="store_true")
+    parser.add_argument("--f0_backend", type=str, default=None,
+                        choices=["native", "numpy", "device"],
+                        help="f0 tracker: native C++ (default when "
+                             "built), numpy golden model, or 'device' "
+                             "(batched on-accelerator, "
+                             "dsp/pitch_device.py)")
     args = parser.parse_args()
 
     from styler_tpu.core.config import default_config
@@ -32,7 +38,8 @@ def main():
     if not args.skip_mfa:
         vctk.mfa_align(in_dir, out_dir)
 
-    train, val = vctk.build_from_path(in_dir, out_dir, cfg)
+    train, val = vctk.build_from_path(in_dir, out_dir, cfg,
+                                      f0_backend=args.f0_backend)
     vctk.write_metadata(train, val, out_dir)
     print(f"wrote {len(train)} train / {len(val)} val entries to {out_dir}")
 

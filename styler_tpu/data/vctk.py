@@ -229,7 +229,8 @@ def get_unaligned_wavs(out_dir: str) -> List[str]:
     return unaligned
 
 
-def build_from_path(in_dir: str, out_dir: str, config: Config):
+def build_from_path(in_dir: str, out_dir: str, config: Config,
+                    f0_backend: str = None):
     """Full VCTK build (reference vctk.py:56-165)."""
     random.seed(9420)
     ensure_dirs(out_dir)
@@ -303,6 +304,7 @@ def build_from_path(in_dir: str, out_dir: str, config: Config):
                 config.hop_length,
                 config.f0_min,
                 config.f0_max,
+                backend=f0_backend,
             )
             for (i, subdir, basename, loaded), f0 in zip(chunk, f0s):
                 try:
