@@ -77,6 +77,27 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def save_vocoder_params(out_dir: str, step: int, params) -> str:
+    """Save natively-trained vocoder generator params (cli/train_vocoder.py)
+    as an orbax directory <out_dir>/<step>."""
+    path = os.path.abspath(os.path.join(out_dir, str(step)))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": params}, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_vocoder_params(path: str):
+    """Load params saved by save_vocoder_params. A parent directory of
+    numbered steps resolves to the latest step."""
+    if os.path.isdir(path) and not os.path.basename(path).isdigit():
+        step = latest_step(path)
+        if step is not None:
+            path = os.path.join(path, str(step))
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))["params"]
+
+
 def load_reference_checkpoint(path: str, config) -> Tuple[Any, Any]:
     """Load a reference ``checkpoint_<step>.pth.tar`` -> (params, batch_stats)."""
     import torch

@@ -463,7 +463,15 @@ def load_synthesizer(
 
     vocoder_params = None
     if vocoder_path and os.path.exists(vocoder_path):
-        from styler_tpu.core.checkpoint import load_reference_vocoder
+        if os.path.isdir(vocoder_path):
+            # natively-trained generator (cli/train_vocoder.py, orbax dir)
+            from styler_tpu.core.checkpoint import load_vocoder_params
 
-        vocoder_params = load_reference_vocoder(vocoder_path, config.vocoder)
+            vocoder_params = load_vocoder_params(vocoder_path)
+        else:
+            from styler_tpu.core.checkpoint import load_reference_vocoder
+
+            vocoder_params = load_reference_vocoder(
+                vocoder_path, config.vocoder
+            )
     return Synthesizer(config, params, batch_stats, vocoder_params)
