@@ -93,11 +93,12 @@ class Synthesizer:
             )
         else:
             self.vocoder_variables = {"params": vocoder_params}
-        # HiFi-GAN inference runs the fused Pallas resblock path
-        # (vocoder/hifigan.py:generator_apply_fused) whenever the static
-        # mel length supports it; opt out with STYLER_TPU_FUSED_VOCODER=0.
+        # HiFi-GAN / iSTFTNet inference runs the fused Pallas resblock
+        # path (generator_apply_fused / istft_apply_fused) whenever the
+        # static mel length supports it; opt out with
+        # STYLER_TPU_FUSED_VOCODER=0.
         self._fused_vocoder = (
-            config.vocoder == "HiFi-GAN"
+            config.vocoder in ("HiFi-GAN", "iSTFTNet")
             and os.environ.get("STYLER_TPU_FUSED_VOCODER", "1") != "0"
             and jax.default_backend() == "tpu"
         )
@@ -108,6 +109,15 @@ class Synthesizer:
         if self._fused_vocoder and generator_fused_supported(
             mel.shape[1], self.generator.config
         ):
+            if self.config.vocoder == "iSTFTNet":
+                from styler_tpu.vocoder.istft_net import istft_apply_fused
+
+                return istft_apply_fused(
+                    self.vocoder_variables,
+                    mel,
+                    self.generator.config,
+                    compute_dtype=self.generator.compute_dtype,
+                )
             return generator_apply_fused(
                 self.vocoder_variables,
                 mel,

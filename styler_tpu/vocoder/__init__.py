@@ -23,8 +23,14 @@ from styler_tpu.vocoder.waveglow import (  # noqa: F401
     WaveGlow,
     WaveGlowConfig,
 )
+from styler_tpu.vocoder.istft_net import (  # noqa: F401
+    ISTFTNetConfig,
+    ISTFTNetGenerator,
+)
 
-VOCODERS = ("HiFi-GAN", "MelGAN", "WaveGlow")
+# iSTFTNet is a beyond-reference trainable fast vocoder (no
+# reference hp.vocoder counterpart; train with cli/train_vocoder.py)
+VOCODERS = ("HiFi-GAN", "MelGAN", "WaveGlow", "iSTFTNet")
 
 
 def make_generator(name: str = "HiFi-GAN", compute_dtype=jnp.bfloat16):
@@ -40,6 +46,8 @@ def make_generator(name: str = "HiFi-GAN", compute_dtype=jnp.bfloat16):
     if name == "WaveGlow":
         # flows invert in f32; bf16 there destroys the coupling inverses
         return WaveGlow(compute_dtype=jnp.float32)
+    if name == "iSTFTNet":
+        return ISTFTNetGenerator(compute_dtype=compute_dtype)
     raise ValueError(
         f"unknown vocoder {name!r}; supported: {VOCODERS} "
         "(Griffin-Lim via dsp.MelFrontend.mel_to_wav is the "
