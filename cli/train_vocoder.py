@@ -35,6 +35,9 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=2e-4)
     parser.add_argument("--decay_gamma", type=float, default=0.999)
     parser.add_argument("--decay_every", type=int, default=1000)
+    parser.add_argument("--mr_stft", type=float, default=0.0,
+                        help="weight of the multi-resolution STFT loss "
+                             "added to the generator objective (0 = off)")
     parser.add_argument("--init_ckpt", type=str, default=None,
                         help="warm-start generator from a torch HiFi-GAN "
                              "checkpoint (core/import_torch importer)")
@@ -98,7 +101,7 @@ def main() -> None:
         cfg, jax.random.PRNGKey(cfg.seed), args.segment_frames,
         gen_params=gen_params, optimizer=opt,
     )
-    step_fn = make_gan_train_step(gen, disc, opt, cfg)
+    step_fn = make_gan_train_step(gen, disc, opt, cfg, mr_stft_weight=args.mr_stft)
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(cfg.seed)

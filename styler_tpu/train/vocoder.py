@@ -69,6 +69,40 @@ def make_mel_fn(config):
     return mel
 
 
+def make_mr_stft_loss_fn(fft_sizes=(512, 1024, 2048), hop_ratio=4):
+    """Multi-resolution STFT loss (Yamamoto et al., Parallel WaveGAN):
+    spectral convergence + log-magnitude L1 averaged over resolutions.
+    Optional extra term for GAN training (sharper high frequencies than
+    the mel loss alone — useful for the iSTFTNet head)."""
+
+    def loss(y_hat: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        # resolutions longer than the segment contribute no frames
+        sizes = [n for n in fft_sizes if n <= y.shape[-1]]
+        total = 0.0
+        for n_fft in sizes:
+            hop = n_fft // hop_ratio
+            win = jnp.hanning(n_fft + 1)[:-1]
+
+            def mag(w, n_fft=n_fft, hop=hop, win=win):
+                T = (w.shape[-1] - n_fft) // hop + 1
+                idx = (
+                    jnp.arange(T)[:, None] * hop + jnp.arange(n_fft)[None, :]
+                )
+                frames = w[:, idx] * win
+                spec = jnp.fft.rfft(frames, axis=-1)
+                # eps INSIDE the sqrt: jnp.abs(complex) has an undefined
+                # gradient at exactly-zero bins
+                return jnp.sqrt(spec.real**2 + spec.imag**2 + 1e-12)
+
+            m_hat, m = mag(y_hat), mag(y)
+            sc = jnp.linalg.norm(m - m_hat) / (jnp.linalg.norm(m) + 1e-7)
+            log_l1 = jnp.mean(jnp.abs(jnp.log(m) - jnp.log(m_hat)))
+            total = total + sc + log_l1
+        return total / max(len(sizes), 1)
+
+    return loss
+
+
 def make_optimizer(
     learning_rate: float = 2e-4,
     betas=(0.8, 0.99),
@@ -112,10 +146,18 @@ def create_gan_state(
     )
 
 
-def make_gan_train_step(gen: Generator, disc: HiFiGANDiscriminator, opt, config):
+def make_gan_train_step(
+    gen: Generator,
+    disc: HiFiGANDiscriminator,
+    opt,
+    config,
+    mr_stft_weight: float = 0.0,
+):
     """Returns jitted step(state, mel [B,F,80], wav [B,F*hop]) ->
-    (state, metrics)."""
+    (state, metrics). mr_stft_weight > 0 adds the multi-resolution STFT
+    loss to the generator objective."""
     mel_fn = make_mel_fn(config)
+    mr_fn = make_mr_stft_loss_fn() if mr_stft_weight > 0 else None
 
     def step(state: GANState, mel: jnp.ndarray, wav: jnp.ndarray):
         yhat_detached = gen.apply({"params": state.gen_params}, mel)
@@ -153,6 +195,8 @@ def make_gan_train_step(gen: Generator, disc: HiFiGANDiscriminator, opt, config)
             F = mel_real.shape[1]
             mel_l1 = jnp.mean(jnp.abs(mel_real - mel_hat[:, :F]))
             total = adv + 2.0 * fm + 45.0 * mel_l1
+            if mr_fn is not None:
+                total = total + mr_stft_weight * mr_fn(yhat, wav)
             return total, (adv, fm, mel_l1)
 
         (g_loss, (adv, fm, mel_l1)), g_grads = jax.value_and_grad(

@@ -127,3 +127,22 @@ def test_vocoder_ckpt_roundtrip(tmp_path, rng):
     a = gen.apply(v, mel)
     b = gen.apply({"params": restored}, mel)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+def test_mr_stft_loss_and_weighted_step(rng):
+    """Multi-resolution STFT loss: zero at identity, positive otherwise,
+    and the GAN step accepts mr_stft_weight > 0."""
+    from styler_tpu.train.vocoder import make_mr_stft_loss_fn
+
+    fn = make_mr_stft_loss_fn(fft_sizes=(256,))
+    y = jnp.asarray(rng.standard_normal((1, 2048)).astype(np.float32) * 0.3)
+    assert float(fn(y, y)) < 1e-5
+    assert float(fn(y * 0.3, y)) > 0.05
+
+    gen, disc, opt, state = _tiny_setup()
+    step_fn = make_gan_train_step(gen, disc, opt, TINY_CFG, mr_stft_weight=1.0)
+    F = 16
+    mel = jnp.asarray(rng.standard_normal((1, F, 80)).astype(np.float32))
+    wav = jnp.asarray(rng.standard_normal((1, F * 64)).astype(np.float32) * 0.3)
+    state, metrics = step_fn(state, mel, wav)
+    assert np.isfinite(float(metrics["g_loss"]))
