@@ -149,10 +149,11 @@ def _block_rows_for(folded_channels: int) -> int:
     """Folded-row block length tuned to Mosaic's scoped-VMEM stack (the
     unrolled tap loop keeps tens of shifted [L, Cf] f32 temporaries
     live). 1024 rows at Cf=128 measured fastest (2.5 ms for the
-    T=65536 stage); the 1<<18 budget (512 rows at Cf=512) shaves the
-    wide first stage's halo overhead ~2% more, and 1<<19 fails to
-    compile (scoped-VMEM exhaustion)."""
-    return max(128, min(1024, (1 << 18) // folded_channels))
+    T=65536 stage) and fits. Bigger budgets are NOT worth it: 1<<18
+    measured only ~2% faster at B=2 and made the B=32 batched/mix
+    programs fail TPU compilation (2026-08-17); 1<<19 fails to compile
+    even at B=2 (scoped-VMEM exhaustion)."""
+    return max(128, min(1024, (1 << 17) // folded_channels))
 
 
 @functools.partial(
