@@ -43,8 +43,9 @@ def _example_batch(cfg, B, L, M, seed=0):
 
 
 def _make_vocode(gen, mel_frames):
-    """gen.apply, routed through the fused Pallas resblock path on TPU
-    (same dispatch rule as synthesis.Synthesizer._vocode)."""
+    """(vocode_fn, fused: bool) — gen.apply routed through the fused
+    Pallas resblock path on TPU (same dispatch rule as
+    synthesis.Synthesizer._vocode)."""
     import jax
 
     from styler_tpu.vocoder.hifigan import (
@@ -55,10 +56,13 @@ def _make_vocode(gen, mel_frames):
     if jax.default_backend() == "tpu" and generator_fused_supported(
         mel_frames, gen.config
     ):
-        return lambda v, m: generator_apply_fused(
-            v, m, gen.config, compute_dtype=gen.compute_dtype
+        return (
+            lambda v, m: generator_apply_fused(
+                v, m, gen.config, compute_dtype=gen.compute_dtype
+            ),
+            True,
         )
-    return gen.apply
+    return gen.apply, False
 
 
 def _build(cfg, B, L, M):
@@ -73,7 +77,7 @@ def _build(cfg, B, L, M):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
     gen = Generator()
     gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
-    vocode = _make_vocode(gen, M)
+    vocode, _ = _make_vocode(gen, M)
 
     @jax.jit
     def synth(model_vars, voc_vars, batch, carry):
@@ -184,13 +188,13 @@ def bench_mix(cfg):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
     gen = Generator()
     gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
-    vocode = _make_vocode(gen, M)
+    vocode, fused = _make_vocode(gen, M)
 
     # With the fused Pallas vocoder (VMEM-resident stage activations) all
     # 32 combos fit in ONE jitted call; the XLA conv path would need
     # ~22 GB of HBM for the intermediates (v5e has 16 GB), so cap at 8
     # per call there.
-    CHUNK = 32 if vocode is not gen.apply else 8
+    CHUNK = 32 if fused else 8
     style = jax.random.normal(jax.random.PRNGKey(2), (CHUNK, M, cfg.encoder_hidden))
     mel_mask = jnp.zeros((CHUNK, M), dtype=bool)
 
@@ -322,7 +326,9 @@ def bench_preprocess(cfg):
     )  # compile
     iters = 4
     t0 = time.perf_counter()
-    for i in range(iters):
+    # i+1: i=0 would replay the warmup's exact inputs, which this
+    # platform memoizes (CLAUDE.md) — the iteration would be free
+    for i in range(1, iters + 1):
         fe.batch([w + i * 1e-6 for w in wavs])
         track_f0_batch(
             [w * 32768.0 + i for w in wavs], cfg.sampling_rate,

@@ -23,15 +23,10 @@ def _convert(src: str, dst: str, sr_out: int) -> int:
     import numpy as np
     from scipy.io import wavfile
 
+    from styler_tpu.data.audio_io import read_wav
     from styler_tpu.dsp.resample import resample
 
-    sr_in, data = wavfile.read(src)
-    if data.dtype.kind == "i":
-        wav = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
-    elif data.dtype.kind == "u":  # 8-bit unsigned PCM
-        wav = (data.astype(np.float32) - 128.0) / 128.0
-    else:
-        wav = data.astype(np.float32)
+    wav, sr_in = read_wav(src)  # the data pipeline's int->float contract
     if wav.ndim == 2:
         wav = wav.mean(axis=1)
     out = resample(wav, int(sr_in), sr_out)

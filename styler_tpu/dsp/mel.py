@@ -195,7 +195,11 @@ class MelFrontend:
         while Fb < F:
             Fb *= 2
         total = (Fb - 1) * self.hop_length + self.n_fft
-        xp = np.pad(xp, (0, max(0, total - len(xp))))
+        # pad OR truncate to the bucket length: when F lands exactly on a
+        # bucket and len(audio) % hop != 0, xp overshoots `total` by the
+        # remainder; those samples are beyond the last frame's reach
+        # (frame F-1 spans [(F-1)*hop, (F-1)*hop + n_fft) <= total).
+        xp = np.pad(xp, (0, max(0, total - len(xp))))[:total]
         mel, energy = self._jitted(jnp.asarray(xp))
         return np.asarray(mel)[:, :F], np.asarray(energy)[:F]
 
@@ -220,7 +224,10 @@ class MelFrontend:
                 Fb *= 2
             xp = np.pad(audio, (pad, pad), mode="reflect")
             total = (Fb - 1) * self.hop_length + self.n_fft
-            prepped.append((np.pad(xp, (0, max(0, total - len(xp)))), F))
+            # see __call__: truncation to `total` is safe and keeps all
+            # shapes in a bucket identical (bucket-boundary utterances
+            # with len % hop != 0 otherwise overshoot and break np.stack)
+            prepped.append((np.pad(xp, (0, max(0, total - len(xp))))[:total], F))
             groups.setdefault(Fb, []).append(i)
 
         out = [None] * len(audios)

@@ -145,8 +145,15 @@ def track_f0(
     robust: bool = False,
     backend: Optional[str] = None,
 ) -> np.ndarray:
-    """f0 per hop frame [len(wav)//hop + 1]; 0.0 where unvoiced."""
+    """f0 per hop frame [len(wav)//hop + 1]; 0.0 where unvoiced.
+
+    backend: None/"native" (C++ lib, numpy fallback), "numpy", or
+    "device" (the on-accelerator tracker, dsp/pitch_device.py)."""
     wav = np.asarray(wav, dtype=np.float32)
+    if backend == "device":
+        return _track_f0_batch_device(
+            [wav], sampling_rate, hop_length, f0_min, f0_max, robust
+        )[0]
     lib = None if backend == "numpy" else _load_native()
     if lib is not None:
         n_frames = len(wav) // hop_length + 1

@@ -103,12 +103,16 @@ class Synthesizer:
             and jax.default_backend() == "tpu"
         )
 
+    def _will_fuse(self, mel_frames: int) -> bool:
+        """Trace-time: will _vocode take the fused Pallas path?"""
+        return self._fused_vocoder and generator_fused_supported(
+            mel_frames, self.generator.config
+        )
+
     def _vocode(self, mel: jnp.ndarray) -> jnp.ndarray:
         """mel [B, T, 80] -> wav [B, T*hop]. Dispatches on the static mel
         length (called under jit, so this Python branch is trace-time)."""
-        if self._fused_vocoder and generator_fused_supported(
-            mel.shape[1], self.generator.config
-        ):
+        if self._will_fuse(mel.shape[1]):
             if self.config.vocoder == "iSTFTNet":
                 from styler_tpu.vocoder.istft_net import istft_apply_fused
 
@@ -166,13 +170,22 @@ class Synthesizer:
             p_control=p_control,
             e_control=e_control,
         )
-        # one 2B vocoder pass for clean+noisy: ~28% faster than two B
-        # passes (per-call fixed cost amortizes; batch is just grid rows)
-        B = out.mel_postnet.shape[0]
-        wavs = self._vocode(
-            jnp.concatenate([out.mel_postnet, out.mel_postnet_noisy], axis=0)
-        )
-        return out, wavs[:B], wavs[B:]
+        # One 2B vocoder pass for clean+noisy: ~28% faster than two B
+        # passes on the fused Pallas path (per-call fixed cost amortizes;
+        # batch is just grid rows, activations stay in VMEM). The XLA
+        # conv path keeps two passes — its HBM intermediates scale with
+        # batch (2x16x1024 frames would need ~22 GB on a 16 GB v5e).
+        if self._will_fuse(out.mel_postnet.shape[1]):
+            B = out.mel_postnet.shape[0]
+            wavs = self._vocode(
+                jnp.concatenate(
+                    [out.mel_postnet, out.mel_postnet_noisy], axis=0
+                )
+            )
+            return out, wavs[:B], wavs[B:]
+        wav_clean = self._vocode(out.mel_postnet)
+        wav_noisy = self._vocode(out.mel_postnet_noisy)
+        return out, wav_clean, wav_noisy
 
     def synthesize(
         self,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from styler_tpu.dsp.mel import MelFrontend, dynamic_range_compression
+from styler_tpu.dsp.mel import MelFrontend
 from styler_tpu.vocoder.discriminators import HiFiGANDiscriminator
 from styler_tpu.vocoder.hifigan import Generator
 
@@ -42,29 +42,21 @@ class GANState(NamedTuple):
 
 
 def make_mel_fn(config):
-    """Jittable wav [B, T] -> log-mel [B, F, n_mels] for the mel loss
-    (same analysis as the data pipeline's MelFrontend: reflect pad,
-    Hann, rFFT, Slaney mel, log compression)."""
+    """Jittable wav [B, T] -> log-mel [B, F, n_mels] for the mel loss —
+    literally the data pipeline's MelFrontend analysis core
+    (``_mel_energy_prepadded``) vmapped over a reflect-padded batch, so
+    the GAN objective can never drift from the dataset's mel
+    definition."""
     fe = MelFrontend(config)
-    n_fft, hop = fe.n_fft, fe.hop_length
-    window, basis = fe.window, fe.mel_basis
+    pad = fe.n_fft // 2
 
     def mel(wav):
         def one(w):
-            xp = jnp.pad(w, (n_fft // 2, n_fft // 2), mode="reflect")
-            # valid framing over the padded signal (T//hop + 1 frames)
-            mag = stft_magnitude_prepadded(xp, window, n_fft, hop)
-            return dynamic_range_compression(basis @ mag).T  # [F, mels]
+            xp = jnp.pad(w, (pad, pad), mode="reflect")
+            m, _ = fe._mel_energy_prepadded(xp)
+            return m.T  # [F, n_mels]
 
         return jax.vmap(one)(wav)
-
-    def stft_magnitude_prepadded(xp, window, n_fft, hop):
-        n_frames = (xp.shape[0] - n_fft) // hop + 1
-        idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
-        frames = xp[idx] * window[None, :]
-        return jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1)).T.astype(
-            jnp.float32
-        )
 
     return mel
 

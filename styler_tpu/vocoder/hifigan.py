@@ -171,6 +171,13 @@ def generator_fused_supported(
         _halo_for,
     )
 
+    # the fused kernels apply resblock_dilation_sizes[0] to EVERY
+    # branch; heterogeneous per-branch dilations must use the XLA path
+    if any(
+        tuple(d) != tuple(config.resblock_dilation_sizes[0])
+        for d in config.resblock_dilation_sizes
+    ):
+        return False
     halo_samples = _halo_for(
         config.resblock_kernel_sizes, config.resblock_dilation_sizes[0]
     )

@@ -264,3 +264,24 @@ def test_melfrontend_batch_matches_serial():
         mel_s, en_s = fe(w)
         np.testing.assert_allclose(mel_b, mel_s, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(en_b, en_s, rtol=1e-5, atol=1e-5)
+
+
+def test_melfrontend_bucket_boundary_lengths():
+    """Utterances whose frame count lands exactly on a bucket with
+    len % hop != 0 must not break the bucket shape (regression: batch
+    raised ValueError on mixed shapes; found in review 2026-08-17)."""
+    from styler_tpu.core.config import default_config
+    from styler_tpu.dsp import MelFrontend
+
+    fe = MelFrontend(default_config())
+    hop = fe.hop_length
+    rng = np.random.default_rng(0)
+    # F = 31*... len = 31*hop + 7 -> F = 32 == bucket, len % hop = 7
+    w_boundary = rng.standard_normal(31 * hop + 7).astype(np.float32) * 0.1
+    w_short = rng.standard_normal(20 * hop).astype(np.float32) * 0.1
+    out = fe.batch([w_boundary, w_short])
+    for w, (mel_b, en_b) in zip([w_boundary, w_short], out):
+        F = len(w) // hop + 1
+        assert mel_b.shape == (80, F) and en_b.shape == (F,)
+        mel_s, en_s = fe(w)
+        np.testing.assert_allclose(mel_b, mel_s, rtol=1e-5, atol=1e-5)
