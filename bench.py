@@ -77,7 +77,7 @@ def _build(cfg, B, L, M):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
     gen = Generator()
     gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
-    vocode, _ = _make_vocode(gen, M)
+    vocode, fused = _make_vocode(gen, M)
 
     @jax.jit
     def synth(model_vars, voc_vars, batch, carry):
@@ -85,12 +85,20 @@ def _build(cfg, B, L, M):
         # (see _time for why both are required on this platform)
         batch = dict(batch, mel_target=batch["mel_target"] + carry)
         out = model.apply(model_vars, **batch, max_mel_len=M)
-        # clean+noisy as one 2B vocoder pass (synthesis.py:_forward)
-        wavs = vocode(
-            voc_vars,
-            jnp.concatenate([out.mel_postnet, out.mel_postnet_noisy], axis=0),
+        if fused:
+            # clean+noisy as one 2B vocoder pass (synthesis.py:_forward);
+            # the XLA conv path keeps two passes (2B HBM intermediates
+            # would exceed v5e's 16 GB at batch 16)
+            wavs = vocode(
+                voc_vars,
+                jnp.concatenate(
+                    [out.mel_postnet, out.mel_postnet_noisy], axis=0
+                ),
+            )
+            return jnp.sum(wavs)
+        return jnp.sum(vocode(voc_vars, out.mel_postnet)) + jnp.sum(
+            vocode(voc_vars, out.mel_postnet_noisy)
         )
-        return jnp.sum(wavs)
 
     return synth, variables, gen_vars, batch
 
