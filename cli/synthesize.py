@@ -51,7 +51,7 @@ def main():
                              "MAE vs f32 ~1e-2, duration rounding may "
                              "shift a frame at bucket boundaries)")
     parser.add_argument("--vocoder", type=str, default=None,
-                        choices=["HiFi-GAN", "MelGAN", "WaveGlow"],
+                        choices=["HiFi-GAN", "MelGAN", "WaveGlow", "iSTFTNet"],
                         help="vocoder family (reference hp.vocoder, "
                              "hparams.py:19); default HiFi-GAN")
     args = parser.parse_args()
@@ -59,10 +59,9 @@ def main():
     import numpy as np
 
     from styler_tpu.core.config import default_config
-    from styler_tpu.data.audio_io import audiowrite, read_wav_int
+    from styler_tpu.data.audio_io import audiowrite
     from styler_tpu.data.sentences import sentences
-    from styler_tpu.data.textgrid import alignment_from_file
-    from styler_tpu.synthesis import extract_reference_features, load_synthesizer
+    from styler_tpu.synthesis import load_reference, load_synthesizer
 
     cfg = default_config().replace(version=args.version)
     if args.bf16:
@@ -83,33 +82,9 @@ def main():
     os.makedirs(outdir, exist_ok=True)
 
     def load_ref(name):
-        wav_path = os.path.join(cfg.ref_audio_dir, name + ".wav")
-        tg_path = os.path.join(cfg.ref_tg_dir, name + ".TextGrid")
-        sr, wav = read_wav_int(wav_path)
-        duration = None
-        if os.path.exists(tg_path):
-            _, duration, start, end = alignment_from_file(
-                tg_path, cfg.sampling_rate, cfg.hop_length
-            )
-            wav = wav[int(cfg.sampling_rate * start): int(cfg.sampling_rate * end)]
-        ref = extract_reference_features(
-            wav.astype(np.float32), cfg, synth.frontend, duration, args.noisy_input
+        return load_reference(
+            cfg, synth.frontend, name, args.speaker_id, args.noisy_input
         )
-        # speaker embedding: precomputed npy by speaker id, else on-the-fly
-        spk = (args.speaker_id or name.split("_")[0])
-        spk_path = os.path.join(
-            cfg.preprocessed_path, "spker_embed",
-            f"{cfg.dataset}-spker_embed-{spk}.npy",
-        )
-        if os.path.exists(spk_path):
-            speaker_embed = np.load(spk_path)
-        else:
-            from styler_tpu.data.vctk import SpeakerEmbedder
-
-            speaker_embed = SpeakerEmbedder(cfg).embed_wav(
-                wav.astype(np.float32) / cfg.max_wav_value
-            )
-        return ref, np.asarray(speaker_embed, dtype=np.float32)
 
     assert args.ref_name or (args.cont and args.r1 and args.r2), (
         "need --ref_name, or --cont with --r1/--r2"

@@ -456,6 +456,52 @@ class Synthesizer:
         return results
 
 
+def load_reference(
+    config: Config,
+    frontend: MelFrontend,
+    name: str,
+    speaker_id: Optional[str] = None,
+    noisy: bool = False,
+) -> Tuple[ReferenceFeatures, np.ndarray]:
+    """Load a style reference by name: wav from ``config.ref_audio_dir``,
+    optional MFA TextGrid trim from ``config.ref_tg_dir``, plus the
+    speaker embedding (precomputed npy by speaker id, else embedded
+    on-the-fly). Shared by cli/synthesize.py and cli/serve.py
+    (reference synthesize.py:420-455 flow)."""
+    from styler_tpu.data.audio_io import read_wav_int
+    from styler_tpu.data.textgrid import alignment_from_file
+
+    wav_path = os.path.join(config.ref_audio_dir, name + ".wav")
+    tg_path = os.path.join(config.ref_tg_dir, name + ".TextGrid")
+    sr, wav = read_wav_int(wav_path)
+    duration = None
+    if os.path.exists(tg_path):
+        _, duration, start, end = alignment_from_file(
+            tg_path, config.sampling_rate, config.hop_length
+        )
+        wav = wav[
+            int(config.sampling_rate * start) : int(config.sampling_rate * end)
+        ]
+    ref = extract_reference_features(
+        wav.astype(np.float32), config, frontend, duration, noisy
+    )
+    spk = speaker_id or name.split("_")[0]
+    spk_path = os.path.join(
+        config.preprocessed_path,
+        "spker_embed",
+        f"{config.dataset}-spker_embed-{spk}.npy",
+    )
+    if os.path.exists(spk_path):
+        speaker_embed = np.load(spk_path)
+    else:
+        from styler_tpu.data.vctk import SpeakerEmbedder
+
+        speaker_embed = SpeakerEmbedder(config).embed_wav(
+            wav.astype(np.float32) / config.max_wav_value
+        )
+    return ref, np.asarray(speaker_embed, dtype=np.float32)
+
+
 def load_synthesizer(
     config: Config,
     ckpt_path: Optional[str] = None,

@@ -118,3 +118,48 @@ def test_evaluate_cli(corpus, monkeypatch, capsys):
     for key in ("total", "mel", "mel_postnet", "duration", "f0", "energy",
                 "dat_clean", "dat_aug"):
         assert f"{key}:" in out, out
+
+
+def test_serve_cli(tmp_path, monkeypatch):
+    """The JSON-lines server synthesizes per request, caches references,
+    survives bad requests, and shuts down on command."""
+    import json
+    import subprocess
+
+    ref_dir = tmp_path / "refs"
+    ref_dir.mkdir()
+    t = np.arange(int(22050 * 0.6)) / 22050
+    wav = (0.4 * np.sin(2 * np.pi * 170 * t) * 32767).astype(np.int16)
+    wavfile.write(str(ref_dir / "p001_001.wav"), 22050, wav)
+    outdir = tmp_path / "out"
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join("/root/repo", "cli/serve.py"),
+         "--ref_audio_dir", str(ref_dir), "--ref_tg_dir", str(ref_dir),
+         "--outdir", str(outdir),
+         "--src_buckets", "32", "--mel_buckets", "64"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        cwd=str(tmp_path),
+    )
+    try:
+        reqs = [
+            {"id": 0, "cmd": "ping"},
+            {"id": 1, "sentence": "Hi.", "ref": "p001_001"},
+            {"id": 2, "sentence": "Hi again.", "ref": "missing_ref"},
+            {"id": 3, "cmd": "shutdown"},
+        ]
+        proc.stdin.write("".join(json.dumps(r) + "\n" for r in reqs))
+        proc.stdin.flush()
+        proc.stdin.close()
+        lines = [json.loads(l) for l in proc.stdout if l.strip()]
+        assert proc.wait(timeout=600) == 0
+    finally:
+        proc.kill()
+
+    by_id = {l["id"]: l for l in lines}
+    assert by_id[0]["pong"] and by_id[3]["bye"]
+    assert by_id[1]["ok"], by_id[1]
+    sr, data = wavfile.read(by_id[1]["wav"])
+    assert sr == 22050 and len(data) > 1000
+    assert os.path.exists(by_id[1]["wav_noisy"])
+    assert not by_id[2]["ok"] and "error" in by_id[2]
