@@ -53,6 +53,13 @@ def main() -> None:
     parser.add_argument("--mel_buckets", type=int, nargs="+", default=None)
     args = parser.parse_args()
 
+    # Own stdout exclusively: replies go to a private dup of the original
+    # stdout fd; sys.stdout is repointed at stderr BEFORE any library
+    # import so stray prints (third-party warnings, library notices)
+    # can never corrupt the JSON-lines protocol.
+    reply_stream = os.fdopen(os.dup(sys.stdout.fileno()), "w", buffering=1)
+    sys.stdout = sys.stderr
+
     from styler_tpu.core.config import default_config
     from styler_tpu.data.audio_io import audiowrite
     from styler_tpu.synthesis import load_reference, load_synthesizer
@@ -84,8 +91,8 @@ def main() -> None:
         return ref_cache[key]
 
     def reply(obj):
-        sys.stdout.write(json.dumps(obj) + "\n")
-        sys.stdout.flush()
+        reply_stream.write(json.dumps(obj) + "\n")
+        reply_stream.flush()
 
     print("serving (JSON lines on stdin)...", file=sys.stderr, flush=True)
     n = 0
@@ -117,7 +124,10 @@ def main() -> None:
                 e_control=float(req.get("e_control", 1.0)),
             )
             base = req.get("out") or os.path.join(args.outdir, f"{n:06d}.wav")
-            noisy_path = base[:-4] + "_noisy.wav"
+            root, ext = os.path.splitext(base)
+            if ext.lower() != ".wav":  # only wav output is supported
+                root, base = base, base + ".wav"
+            noisy_path = root + "_noisy.wav"
             audiowrite(result["wav"], cfg.sampling_rate, base)
             audiowrite(result["wav_noisy"], cfg.sampling_rate, noisy_path)
             n += 1

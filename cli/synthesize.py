@@ -62,6 +62,12 @@ def main():
     from styler_tpu.data.audio_io import audiowrite
     from styler_tpu.data.sentences import sentences
     from styler_tpu.synthesis import load_reference, load_synthesizer
+    from styler_tpu.utils import plot_mel_f0_energy, save_figure
+
+    def save_overlay(path, mel, f0, energy, title):
+        """Overlay png next to every output wav (reference
+        synthesize.py:366-379 writes plot_data panels per variant)."""
+        save_figure(plot_mel_f0_energy([(mel, f0, energy)], [title]), path)
 
     cfg = default_config().replace(version=args.version)
     if args.bf16:
@@ -126,6 +132,12 @@ def main():
             audiowrite(r["wav_noisy"], cfg.sampling_rate,
                        os.path.join(outdir, stem + "_noisy.wav"))
             np.save(os.path.join(outdir, stem + "_mel.npy"), r["mel"])
+            save_overlay(os.path.join(outdir, stem + ".png"),
+                         r["mel"], r["f0"], r["energy"],
+                         "Synthesized Spectrogram Clean")
+            save_overlay(os.path.join(outdir, stem + "_noisy.png"),
+                         r["mel_noisy"], r["f0"], r["energy"],
+                         "Synthesized Spectrogram Noisy")
         dt = time.perf_counter() - start_time
         audio_sec = sum(r["mel_len"] for r in results) * cfg.hop_length / cfg.sampling_rate
         print(f"Batched {len(todo)} sentences: {audio_sec:.1f}s audio in "
@@ -143,6 +155,12 @@ def main():
         audiowrite(r["wav_noisy"], cfg.sampling_rate,
                    os.path.join(outdir, stem + "_noisy.wav"))
         np.save(os.path.join(outdir, stem + "_mel.npy"), r["mel"])
+        save_overlay(os.path.join(outdir, stem + ".png"),
+                     r["mel"], r["f0"], r["energy"],
+                     "Synthesized Spectrogram Clean")
+        save_overlay(os.path.join(outdir, stem + "_noisy.png"),
+                     r["mel_noisy"], r["f0"], r["energy"],
+                     "Synthesized Spectrogram Noisy")
         audio_sec = r["mel_len"] * cfg.hop_length / cfg.sampling_rate
         print(f"[{i}] {audio_sec:.2f}s audio in {dt:.3f}s (RTF {audio_sec/dt:.1f}x): {sentence}")
 

@@ -19,6 +19,10 @@ def main():
                         help="capture a jax.profiler trace for N steps "
                              "(written under <log_path>/profile)")
     parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--acc_steps", type=int, default=None,
+                        help="gradient accumulation: split each batch "
+                             "into N microbatches scanned inside one "
+                             "jitted update (reference train.py:175-178)")
     parser.add_argument("--version", type=str, default="")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--max_steps", type=int, default=None)
@@ -29,6 +33,17 @@ def main():
                              "jax.distributed (one process per host)")
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--vocoder_ckpt", type=str, default=None,
+                        help="vocoder checkpoint for the synth_step "
+                             "audio monitoring channels (random-init "
+                             "generator if absent)")
+    parser.add_argument("--eval_batches", type=int, default=None,
+                        help="cap val batches per eval_step "
+                             "(default: full split)")
+    parser.add_argument("--synth_step", type=int, default=None,
+                        help="override monitoring cadence (cfg.synth_step)")
+    parser.add_argument("--eval_step", type=int, default=None,
+                        help="override val-eval cadence (cfg.eval_step)")
     parser.add_argument("--bf16", action="store_true",
                         help="mixed precision: bf16 compute in the "
                              "matmul/conv-heavy model paths (params, "
@@ -38,8 +53,10 @@ def main():
     # XLA:TPU's space-to-batch pass crashes on the backprop convs at small
     # batch sizes (see core/xla_flags.py). It is also a small-batch conv
     # OPTIMIZATION, so only disable it where the crash bites — keeping the
-    # 4x inference speedup it provides elsewhere.
-    if (args.batch_size or 16) < 8:
+    # 4x inference speedup it provides elsewhere. The conv batch is the
+    # MICRObatch under gradient accumulation, so accumulation composes
+    # with the workaround (batch 16 / acc_steps 4 -> conv batch 4).
+    if (args.batch_size or 16) // (args.acc_steps or 1) < 8:
         from styler_tpu.core.xla_flags import apply_workarounds
 
         apply_workarounds()
@@ -75,12 +92,19 @@ def main():
         alignment_2d_from_durations,
         figure_to_array,
         plot_alignment,
-        plot_spectrogram,
     )
 
     cfg = default_config().replace(version=args.version)
     if args.batch_size:
         cfg = cfg.replace(batch_size=args.batch_size)
+    if args.acc_steps:
+        cfg = cfg.replace(acc_steps=args.acc_steps)
+    if args.eval_batches is not None:
+        cfg = cfg.replace(eval_batches=args.eval_batches)
+    if args.synth_step:
+        cfg = cfg.replace(synth_step=args.synth_step)
+    if args.eval_step:
+        cfg = cfg.replace(eval_step=args.eval_step)
     if args.epochs:
         cfg = cfg.replace(epochs=args.epochs)
     if args.preprocessed:
@@ -131,6 +155,7 @@ def main():
         if n_data < len(jax.devices()):
             print(f"mesh: using {n_data}/{len(jax.devices())} devices (batch divisibility)")
     step_fn = make_jitted_train_step(model, cfg, donate=True)
+    vocode = _make_monitor_vocoder(cfg, args.vocoder_ckpt)
     log_path = cfg.log_path()
     os.makedirs(log_path, exist_ok=True)
     metrics_log = open(os.path.join(log_path, "train_metrics.jsonl"), "a")
@@ -186,7 +211,10 @@ def main():
                     tb_train.flush()
 
                 if current_step % cfg.synth_step == 0:
-                    # image panels: predicted vs target mel + duration alignment
+                    # The reference's full synth_step monitoring surface
+                    # (train.py:230-332): overlay panels + duration
+                    # alignment + 6 vocoded audio channels, to both the
+                    # synth dir and TensorBoard.
                     vb = next(
                         batch_iterator(val_dataset, cfg, shuffle=False, drop_last=False)
                     )
@@ -195,40 +223,17 @@ def main():
                         {"params": state.params, "batch_stats": state.batch_stats},
                         **fwd,
                     )
-                    ml = int(np.asarray(fwd["mel_len"])[0])
-                    sl = int(np.asarray(fwd["src_len"])[0])
-                    tb_train.image(
-                        "mel/predicted",
-                        figure_to_array(
-                            plot_spectrogram(
-                                np.asarray(out.mel_postnet)[0, :ml],
-                                f"postnet step {current_step}",
-                            )
-                        ),
-                        current_step,
-                    )
-                    tb_train.image(
-                        "mel/target",
-                        figure_to_array(
-                            plot_spectrogram(
-                                np.asarray(fwd["mel_target"])[0, :ml], "ground truth"
-                            )
-                        ),
-                        current_step,
-                    )
-                    d_round = np.asarray(fwd["d_target"])[0, :sl]
-                    tb_train.image(
-                        "alignment/duration",
-                        figure_to_array(
-                            plot_alignment(
-                                alignment_2d_from_durations(d_round, mel_len=ml)
-                            )
-                        ),
-                        current_step,
+                    _log_synth_panels(
+                        cfg, tb_train, vocode, fwd, out, current_step,
+                        alignment_2d_from_durations, figure_to_array,
+                        plot_alignment,
                     )
                     tb_train.flush()
 
                 if current_step % cfg.eval_step == 0:
+                    # full val split by default (reference
+                    # evaluate.py:27-142); cfg.eval_batches>0 caps it
+                    # for smoke runs
                     val_losses = []
                     for vb in batch_iterator(
                         val_dataset, cfg, shuffle=False, drop_last=False
@@ -241,7 +246,7 @@ def main():
                                 ).items()
                             }
                         )
-                        if len(val_losses) >= 8:
+                        if cfg.eval_batches and len(val_losses) >= cfg.eval_batches:
                             break
                     if val_losses:
                         avg = {
@@ -266,6 +271,131 @@ def _forward_only(batch):
     from styler_tpu.train.step import FORWARD_KEYS
 
     return {k: batch[k] for k in FORWARD_KEYS if k in batch}
+
+
+def _make_monitor_vocoder(cfg, vocoder_ckpt=None):
+    """Jitted mel[B,T,80] -> wav[B,T*hop] for the synth_step audio
+    channels (reference utils.vocoder_infer, utils.py:250-280). Uses the
+    fused Pallas resblock path on TPU when the shape supports it; the
+    XLA conv path maps row-by-row to bound HBM intermediates."""
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from styler_tpu.vocoder import make_generator
+    from styler_tpu.vocoder.hifigan import (
+        generator_apply_fused,
+        generator_fused_supported,
+    )
+
+    gen = make_generator(cfg.vocoder)
+    if vocoder_ckpt and os.path.exists(vocoder_ckpt):
+        if os.path.isdir(vocoder_ckpt):
+            from styler_tpu.core.checkpoint import load_vocoder_params
+
+            variables = {"params": load_vocoder_params(vocoder_ckpt)}
+        else:
+            from styler_tpu.core.checkpoint import load_reference_vocoder
+
+            variables = {"params": load_reference_vocoder(vocoder_ckpt, cfg.vocoder)}
+    else:
+        variables = jax.jit(gen.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.n_mel_channels))
+        )
+
+    @jax.jit
+    def vocode(mel):
+        if (
+            jax.default_backend() == "tpu"
+            and cfg.vocoder == "HiFi-GAN"
+            and generator_fused_supported(mel.shape[1], gen.config)
+        ):
+            return generator_apply_fused(
+                variables, mel, gen.config, compute_dtype=gen.compute_dtype
+            )
+        return jax.lax.map(
+            lambda m: gen.apply(variables, m), mel[:, None]
+        ).reshape(mel.shape[0], -1)
+
+    return vocode
+
+
+def _log_synth_panels(
+    cfg, tb, vocode, fwd, out, step,
+    alignment_2d_from_durations, figure_to_array, plot_alignment,
+):
+    """The reference's synth_step monitoring surface (train.py:230-332):
+    6 vocoded audio channels (ground-truth / pre-postnet / postnet mels,
+    clean and noisy) written to the synth dir + TensorBoard, overlay
+    panels (mel + f0 + energy, predicted vs target, utils.py:103-149),
+    and the predicted-duration alignment image."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from styler_tpu.data.audio_io import audiowrite
+    from styler_tpu.utils import plot_mel_f0_energy
+
+    ml = int(np.asarray(fwd["mel_len"])[0])
+    sl = int(np.asarray(fwd["src_len"])[0])
+    synth_path = cfg.synth_path()
+    os.makedirs(synth_path, exist_ok=True)
+
+    # (tb tag, synth-dir filename stem) in stack order
+    channels = [
+        ("Clean/wav_ground_truth", f"step_{step}_c_ground-truth_{cfg.vocoder}"),
+        ("Clean/wav_mel", f"step_{step}_c_{cfg.vocoder}"),
+        ("Clean/wav_mel_postnet", f"step_{step}_c_postnet_{cfg.vocoder}"),
+        ("Noisy/wav_aug", f"step_{step}_n_ground-truth_{cfg.vocoder}"),
+        ("Noisy/wav_mel_noisy", f"step_{step}_n_{cfg.vocoder}"),
+        ("Noisy/wav_mel_postnet_noisy", f"step_{step}_n_postnet_{cfg.vocoder}"),
+    ]
+    mels = np.stack(
+        [
+            np.asarray(fwd["mel_target"])[0],
+            np.asarray(out.mel)[0],
+            np.asarray(out.mel_postnet)[0],
+            np.asarray(fwd["mel_aug"])[0],
+            np.asarray(out.mel_noisy)[0],
+            np.asarray(out.mel_postnet_noisy)[0],
+        ]
+    )
+    wavs = np.asarray(vocode(jnp.asarray(mels)))[:, : ml * cfg.hop_length]
+    for (tag, stem), wav in zip(channels, wavs):
+        peak = float(np.abs(wav).max()) or 1.0  # reference normalizes
+        audiowrite(wav / peak, cfg.sampling_rate, os.path.join(synth_path, stem + ".wav"))
+        tb.audio(tag, wav / peak, step, sample_rate=cfg.sampling_rate)
+
+    f0_gt = np.asarray(fwd["p_target"])[0, :ml]
+    e_gt = np.asarray(fwd["e_target"])[0, :ml]
+    f0_pr = np.asarray(out.p_prediction)[0, :ml]
+    e_pr = np.asarray(out.e_prediction)[0, :ml]
+    for tag, suffix, pred_mel, gt_mel, gt_title in (
+        ("mel_predicted/Clean", "c", mels[2], mels[0], "Ground-Truth Spectrogram"),
+        ("mel_predicted/Noisy", "n", mels[5], mels[3], "Aug Spectrogram"),
+    ):
+        fig = plot_mel_f0_energy(
+            [(pred_mel[:ml], f0_pr, e_pr), (gt_mel[:ml], f0_gt, e_gt)],
+            [f"Synthesized Spectrogram {'Clean' if suffix == 'c' else 'Noisy'}", gt_title],
+        )
+        fig.savefig(os.path.join(synth_path, f"step_{step}_{suffix}.png"))
+        tb.image(tag, figure_to_array(fig), step)  # closes fig
+
+    d_pred = np.clip(
+        np.round(np.exp(np.asarray(out.log_d_prediction)[0, :sl]) - cfg.log_offset),
+        0, None,
+    ).astype(np.int32)
+    if d_pred.sum() > 0:
+        tb.image(
+            "model_duration",
+            figure_to_array(
+                plot_alignment(alignment_2d_from_durations(d_pred))
+            ),
+            step,
+        )
 
 
 if __name__ == "__main__":

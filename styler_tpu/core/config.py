@@ -126,6 +126,10 @@ class Config:
     # ------------------------------------------------------------------
     # TPU-native additions (no reference counterpart)
     # ------------------------------------------------------------------
+    # Val batches per eval_step: 0 = the full split (reference
+    # evaluate.py:27-142 walks the whole val set); set small (e.g. 8)
+    # for smoke runs.
+    eval_batches: int = 0
     # Static padded shape buckets (phoneme axis / mel-frame axis). All
     # jitted paths pad to one of these to bound XLA recompilation.
     src_buckets: Tuple[int, ...] = (32, 64, 128, 192, 256)

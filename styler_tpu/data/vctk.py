@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import random
+import sys
 from pathlib import Path
 from typing import List, Optional, Tuple
 
@@ -99,7 +100,8 @@ class SpeakerEmbedder:
         else:
             print(
                 f"[vctk] speaker embedder checkpoint not found at {h5}; "
-                "writing deterministic fallback embeddings"
+                "writing deterministic fallback embeddings",
+                file=sys.stderr,
             )
 
     def embed_wav(self, audio: np.ndarray, rng=None) -> np.ndarray:
@@ -298,15 +300,39 @@ def build_from_path(in_dir: str, out_dir: str, config: Config,
 
         for c0 in range(0, len(staged), CHUNK):
             chunk = staged[c0: c0 + CHUNK]
-            f0s = track_f0_batch(
-                [ld[0] for (_, _, _, ld) in chunk],
-                config.sampling_rate,
-                config.hop_length,
-                config.f0_min,
-                config.f0_max,
-                backend=f0_backend,
-            )
+            try:
+                f0s = track_f0_batch(
+                    [ld[0] for (_, _, _, ld) in chunk],
+                    config.sampling_rate,
+                    config.hop_length,
+                    config.f0_min,
+                    config.f0_max,
+                    backend=f0_backend,
+                )
+            except Exception:
+                # One bad utterance (e.g. a wav shorter than the
+                # tracker's lag window) must not kill the corpus build:
+                # fall back to per-utterance tracking so only the bad
+                # one lands in errors[] (pre-chunking semantics).
+                f0s = []
+                for (_, _, basename, loaded) in chunk:
+                    try:
+                        f0s.append(
+                            track_f0_batch(
+                                [loaded[0]],
+                                config.sampling_rate,
+                                config.hop_length,
+                                config.f0_min,
+                                config.f0_max,
+                                backend=f0_backend,
+                            )[0]
+                        )
+                    except Exception:
+                        f0s.append(None)
             for (i, subdir, basename, loaded), f0 in zip(chunk, f0s):
+                if f0 is None:
+                    errors.append(basename)
+                    continue
                 try:
                     ret = process_utterance(
                         in_dir, out_dir, subdir, basename, config, frontend,

@@ -317,7 +317,7 @@ class StyleModeling(nn.Module):
         noise_encoding: jnp.ndarray,
         src_mask: jnp.ndarray,
         max_mel_len: int,
-        speaker_normalized: bool = True,
+        speaker_normalized=True,  # bool, or per-item float weights [B]
         d_control: float = 1.0,
         p_control: float = 1.0,
         e_control: float = 1.0,
@@ -359,7 +359,15 @@ class StyleModeling(nn.Module):
             bucketize(e_prediction, self.energy_bins)
         )
 
-        pitch_in = pitch_f if speaker_normalized else pitch_f + speaker_f
+        if isinstance(speaker_normalized, (bool, int)):
+            pitch_in = pitch_f if speaker_normalized else pitch_f + speaker_f
+        else:
+            # per-item float weight [B]: 1.0 adds the speaker stream to
+            # the pitch predictor input (= speaker_normalized=False),
+            # 0.0 omits it. Lets the batched mix/inspect hot path run
+            # combos with different flags in ONE program.
+            w = jnp.asarray(speaker_normalized, pitch_f.dtype).reshape(-1, 1, 1)
+            pitch_in = pitch_f + w * speaker_f
         p_prediction = self.pitch_predictor(pitch_in, mel_mask, deterministic) * p_control
         pitch_embedding = self.pitch_embedding(bucketize(p_prediction, self.pitch_bins))
 

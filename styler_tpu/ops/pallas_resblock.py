@@ -242,6 +242,13 @@ def fused_resblock_stage(
             (1, bt, Cf), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, Tf, Cf), x.dtype),
+        # The unrolled tap loop's stack of [L, Cf] f32 temporaries can
+        # exceed the default 16 MiB scoped-vmem budget when this kernel
+        # is embedded in a larger program (observed: stage0 Cf=256
+        # inside the full synthesize graph wants 23.5 MiB; the same
+        # shapes standalone fit). Weights (~16.5 MiB at Cf=256) +
+        # 3 input tiles + stack stay well under this explicit cap.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(xpad, xpad, xpad, w_all, b_all)
     return out.reshape(B, T, C)

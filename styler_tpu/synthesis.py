@@ -140,6 +140,40 @@ class Synthesizer:
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "max_mel_len"))
+    def _encode(
+        self,
+        src_seq,
+        src_len,
+        mel,
+        f0_norm,
+        energy01,
+        mel_len,
+        speaker_embed,
+        d_control,
+        p_control,
+        e_control,
+        max_mel_len,
+    ):
+        """Model forward only (no vocoder) — the encodings producer for
+        mix_and_match's 4-row base batch."""
+        return self.model.apply(
+            self.variables,
+            src_seq=src_seq,
+            mel_target=mel,
+            mel_aug=mel,
+            p_norm=f0_norm,
+            e_input=energy01,
+            src_len=src_len,
+            mel_len=mel_len,
+            max_src_len=src_seq.shape[1],
+            max_mel_len=max_mel_len,
+            speaker_embed=speaker_embed,
+            d_control=d_control,
+            p_control=p_control,
+            e_control=e_control,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self", "max_mel_len"))
     def _forward(
         self,
         src_seq,
@@ -323,93 +357,172 @@ class Synthesizer:
         return results
 
     # ------------------------------------------------------------------
-    # Inspection: style-factor ablations (reference synthesize.py:282-341)
+    # Mixed-encoding decode (shared by inspect / mix_and_match)
     # ------------------------------------------------------------------
 
-    @functools.partial(
-        jax.jit, static_argnames=("self", "max_mel_len", "speaker_normalized", "noisy")
-    )
-    def _mix_jit(
-        self, t, p, e, d, s, n, src_mask, max_mel_len, speaker_normalized, noisy
-    ):
-        """One jitted program per combo shape: predict_inference on the
-        mixed encodings + decode + vocoder (hot loop of --cont/--inspection)."""
+    def _mix_core(self, t, p, e, d, s, n, src_mask, spk_w, noise_w, max_mel_len):
+        """Traced hot path over B pre-mixed combos: predict_inference +
+        decode + vocoder in ONE program (the reference re-runs the full
+        CLI per combo, synthesize.py:208-279; round-1 ran one dispatch
+        per combo — ~40 ms tunnel overhead each — now one total).
+
+        spk_w / noise_w: per-item float weights [B]; spk_w=1 feeds
+        speaker into the pitch predictor (speaker_normalized=False),
+        noise_w=1 adds the frame-domain noise stream to the decode.
+        """
         pieces = self.model.apply(
             self.variables,
             t, p, e, d, s, n,
             src_mask,
             max_mel_len,
-            speaker_normalized,
+            spk_w,
             method=lambda m, *a: m.style_modeling.predict_inference(*a),
         )
         text_f, pitch_emb, speaker_f, energy_emb, noise_f, log_d, p_pred, e_pred, mel_mask = pieces
-        style_out = text_f + pitch_emb + speaker_f + energy_emb
-        if noisy:
-            style_out = style_out + noise_f
+        style_out = (
+            text_f + pitch_emb + speaker_f + energy_emb
+            + jnp.asarray(noise_w, noise_f.dtype)[:, None, None] * noise_f
+        )
         _, mel_postnet = self.model.apply(
             self.variables, style_out, mel_mask, method="decode"
         )
-        wav = self._vocode(mel_postnet)
+        B = mel_postnet.shape[0]
+        if self._will_fuse(mel_postnet.shape[1]) or B <= 4:
+            # fused Pallas path: batch is just grid rows, activations
+            # stay in VMEM — one call for all combos
+            wav = self._vocode(mel_postnet)
+        else:
+            # unfused XLA conv path: HBM intermediates scale with batch
+            # (32x1024 frames would be tens of GB) — chunk via lax.map
+            c = 4
+            while B % c:
+                c -= 1
+            wav = jax.lax.map(
+                self._vocode, mel_postnet.reshape(B // c, c, *mel_postnet.shape[1:])
+            ).reshape(B, -1)
         return mel_postnet, wav, p_pred, e_pred, mel_mask
 
-    def _mix_forward(
-        self, t, p, e, d, s, n, src_mask, max_mel_len, speaker_normalized, noisy
-    ):
-        mel_postnet, wav, p_pred, e_pred, mel_mask = self._mix_jit(
-            t, p, e, d, s, n,
-            jnp.asarray(src_mask),
-            max_mel_len,
-            bool(speaker_normalized),
-            bool(noisy),
-        )
-        mel_len = int(np.asarray((~np.asarray(mel_mask)).sum(-1))[0])
-        return {
-            "mel": np.asarray(mel_postnet)[0, :mel_len],
-            "wav": np.asarray(wav)[0, : mel_len * self.config.hop_length],
-            "f0": np.asarray(p_pred)[0, :mel_len],
-            "energy": np.asarray(e_pred)[0, :mel_len],
-            "mel_len": mel_len,
-        }
+    def _mix_results(self, titles, mel_postnet, wav, p_pred, e_pred, mel_mask):
+        """Device outputs [B, ...] -> per-combo host dicts."""
+        mel_postnet = np.asarray(mel_postnet)
+        wav = np.asarray(wav)
+        p_pred, e_pred = np.asarray(p_pred), np.asarray(e_pred)
+        mel_lens = (~np.asarray(mel_mask)).sum(-1)
+        out = {}
+        for i, title in enumerate(titles):
+            ml = int(mel_lens[i])
+            out[title] = {
+                "mel": mel_postnet[i, :ml],
+                "wav": wav[i, : ml * self.config.hop_length],
+                "f0": p_pred[i, :ml],
+                "energy": e_pred[i, :ml],
+                "mel_len": ml,
+            }
+        return out
 
     def _pitch_up(self, x):
         return self.model.apply(
             self.variables, x, method=lambda m, v: m.style_modeling.pitch_linear(v)
         )
 
+    # ------------------------------------------------------------------
+    # Inspection: style-factor ablations (reference synthesize.py:282-341)
+    # ------------------------------------------------------------------
+
+    # (title, pitch source: "sp"|"norm"|None, +energy, +duration,
+    #  speaker->pitch weight, noise weight); order = reference
+    # infer_inspection's title order (synthesize.py:282-341)
+    _INSPECT_COMBOS = (
+        ("T+D+P+E+S+N", "sp", 1, 1, 1.0, 1.0),
+        ("T+D+P+E+N", "norm", 1, 1, 0.0, 1.0),
+        ("T+D+P+N", "norm", 0, 1, 0.0, 1.0),
+        ("T+D+N", None, 0, 1, 0.0, 1.0),
+        ("T+N", None, 0, 0, 0.0, 1.0),
+        ("T", None, 0, 0, 0.0, 0.0),
+        ("T+D", None, 0, 1, 0.0, 0.0),
+        ("T+D+P", "norm", 0, 1, 0.0, 0.0),
+        ("T+D+P+E", "norm", 1, 1, 0.0, 0.0),
+        ("T+D+P+E+S", "sp", 1, 1, 1.0, 0.0),
+    )
+
+    @functools.partial(jax.jit, static_argnames=("self", "max_mel_len"))
+    def _inspect_jit(
+        self, t, t_neck, d, s, e, n, p_down, s_down, src_mask, max_mel_len
+    ):
+        """Pack the 10 ablation rows + run the mixed decode, all in one
+        jitted program ([1, L, 256] inputs -> [10, ...] outputs)."""
+        p_sp = self._pitch_up(p_down + s_down)
+        p_no = self._pitch_up(p_down)
+        rows_p, rows_e, rows_d, spk_w, noise_w = [], [], [], [], []
+        for (_, psrc, add_e, add_d, sw, nw) in self._INSPECT_COMBOS:
+            pp = {"sp": t_neck + p_sp, "norm": t_neck + p_no, None: t_neck}[psrc]
+            rows_p.append(pp)
+            rows_e.append(t_neck + e if add_e else t_neck)
+            rows_d.append(t_neck + d if add_d else t_neck)
+            spk_w.append(sw)
+            noise_w.append(nw)
+        B = len(self._INSPECT_COMBOS)
+        tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape[1:])
+        return self._mix_core(
+            tile(t),
+            jnp.concatenate(rows_p, axis=0),
+            jnp.concatenate(rows_e, axis=0),
+            jnp.concatenate(rows_d, axis=0),
+            tile(s),
+            tile(n),
+            tile(src_mask),
+            jnp.asarray(spk_w, jnp.float32),
+            jnp.asarray(noise_w, jnp.float32),
+            max_mel_len,
+        )
+
     def inspect(self, sentence: str, ref: ReferenceFeatures, speaker_embed) -> Dict[str, Dict]:
         """Ablation grid: T, T+D, T+D+P, ..., T+D+P+E+S+N
-        (reference infer_inspection titles)."""
+        (reference infer_inspection titles) — one base forward + one
+        batched 10-row decode."""
         base = self.synthesize(sentence, ref, speaker_embed)
         enc = base["encodings"]
-        t, t_neck = enc["t"], enc["t_neck"]
-        d, s, e, n = enc["d"], enc["s"], enc["e"], enc["n"]
-        p_norm = self._pitch_up(enc["p_down"])
-        p = self._pitch_up(enc["p_down"] + enc["s_down"])
-        src_mask = base["src_mask"]
-        M = self.config.mel_buckets[-1]
-
-        grid = {}
-        combos = [
-            ("T+D+P+E+S+N", t, t_neck + p, t_neck + e, t_neck + d, s, n, False, True),
-            ("T+D+P+E+N", t, t_neck + p_norm, t_neck + e, t_neck + d, s, n, True, True),
-            ("T+D+P+N", t, t_neck + p_norm, t_neck, t_neck + d, s, n, True, True),
-            ("T+D+N", t, t_neck, t_neck, t_neck + d, s, n, True, True),
-            ("T+N", t, t_neck, t_neck, t_neck, s, n, True, True),
-            ("T", t, t_neck, t_neck, t_neck, s, n, True, False),
-            ("T+D", t, t_neck, t_neck, t_neck + d, s, n, True, False),
-            ("T+D+P", t, t_neck + p_norm, t_neck, t_neck + d, s, n, True, False),
-            ("T+D+P+E", t, t_neck + p_norm, t_neck + e, t_neck + d, s, n, True, False),
-            ("T+D+P+E+S", t, t_neck + p, t_neck + e, t_neck + d, s, n, False, False),
-        ]
-        for title, tt, pp, ee, dd, ss, nn, spk_norm, noisy in combos:
-            grid[title] = self._mix_forward(
-                tt, pp, ee, dd, ss, nn, src_mask, M, spk_norm, noisy
-            )
-        return grid
+        outs = self._inspect_jit(
+            enc["t"], enc["t_neck"], enc["d"], enc["s"], enc["e"], enc["n"],
+            enc["p_down"], enc["s_down"],
+            jnp.asarray(base["src_mask"]),
+            self.config.mel_buckets[-1],
+        )
+        return self._mix_results([c[0] for c in self._INSPECT_COMBOS], *outs)
 
     # ------------------------------------------------------------------
     # Controllability: 2^5 mix-and-match (reference synthesize.py:208-279)
     # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "max_mel_len"))
+    def _comb_jit(
+        self, t4, t_neck4, n4, d4, p_down4, e4, s4, s_down4, src_mask4, max_mel_len
+    ):
+        """Gather the 32 combos from the 4 base rows ((text, ref) =
+        (0,0),(0,1),(1,0),(1,1)) and run the mixed decode — one program.
+
+        comb "abcde": a selects the text (and noise/masks), b duration,
+        c pitch, d energy, e speaker (reference create_enc_comb,
+        synthesize.py:239-274)."""
+        bits = np.array(
+            [[(comb >> (4 - i)) & 1 for i in range(5)] for comb in range(32)]
+        )
+        a, b, c, d_bit, e_bit = bits.T
+        row = lambda r: jnp.asarray(2 * a + r)
+        T = jnp.take(t4, row(a), axis=0)
+        TN = jnp.take(t_neck4, row(a), axis=0)
+        N = jnp.take(n4, row(a), axis=0)
+        D = TN + jnp.take(d4, row(b), axis=0)
+        E = TN + jnp.take(e4, row(d_bit), axis=0)
+        S = jnp.take(s4, row(e_bit), axis=0)
+        p_tgt = self._pitch_up(
+            jnp.take(p_down4, row(c), axis=0) + jnp.take(s_down4, row(e_bit), axis=0)
+        )
+        mask = jnp.take(src_mask4, row(a), axis=0)
+        ones = jnp.ones(32, jnp.float32)
+        return self._mix_core(
+            T, TN + p_tgt, E, D, S, N, mask, ones, 0.0 * ones, max_mel_len
+        )
 
     def mix_and_match(
         self,
@@ -422,38 +535,45 @@ class Synthesizer:
         comb "abcde": a selects the text (and with it noise/masks),
         b duration, c pitch, d energy, e speaker — 0=ref1, 1=ref2,
         matching the reference's create_enc_comb (synthesize.py:239-274).
-        """
-        # encodings of each reference under each text
-        enc = {}
-        for text_idx in (0, 1):
-            for ref_idx in (0, 1):
-                out = self.synthesize(
-                    sentence_by_ref[text_idx], refs[ref_idx], speaker_embeds[ref_idx]
-                )
-                enc[(text_idx, ref_idx)] = out
 
-        M = self.config.mel_buckets[-1]
-        results = {}
-        for comb in range(32):
-            bits = [(comb >> (4 - i)) & 1 for i in range(5)]
-            a, b, c, d_bit, e_bit = bits
-            base = enc[(a, a)]
-            src_mask = base["src_mask"]
-            t = base["encodings"]["t"]
-            t_neck = base["encodings"]["t_neck"]
-            n = base["encodings"]["n"]
-            d = enc[(a, b)]["encodings"]["d"]
-            p_down = enc[(a, c)]["encodings"]["p_down"]
-            e = enc[(a, d_bit)]["encodings"]["e"]
-            s = enc[(a, e_bit)]["encodings"]["s"]
-            s_down_tgt = enc[(a, e_bit)]["encodings"]["s_down"]
-            p_tgt = self._pitch_up(p_down + s_down_tgt)
-            key = "".join(str(x) for x in bits)
-            results[key] = self._mix_forward(
-                t, t_neck + p_tgt, t_neck + e, t_neck + d, s, n,
-                src_mask, M, False, False,
-            )
-        return results
+        Two dispatches total: one 4-row base forward for the encodings
+        ((text, ref) cross product) + one 32-row mixed decode."""
+        cfg = self.config
+        ids = [self.text_to_ids(s) for s in sentence_by_ref]
+        L = bucket_for(max(len(i) for i in ids), cfg.src_buckets)
+        M_in = bucket_for(max(r.mel_len for r in refs), cfg.mel_buckets)
+        M_out = cfg.mel_buckets[-1]
+
+        # rows (text a, ref r) in order (0,0),(0,1),(1,0),(1,1)
+        src_seq = np.zeros((4, L), np.int32)
+        src_len = np.ones(4, np.int32)
+        mel = np.zeros((4, M_in, cfg.n_mel_channels), np.float32)
+        f0 = np.zeros((4, M_in), np.float32)
+        en = np.zeros((4, M_in), np.float32)
+        mel_len = np.ones(4, np.int32)
+        spk = np.zeros((4, len(np.ravel(speaker_embeds[0]))), np.float32)
+        for i, (ti, ri) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            src_seq[i, : len(ids[ti])] = ids[ti]
+            src_len[i] = len(ids[ti])
+            r = refs[ri]
+            mel[i, : r.mel_len] = r.mel[: r.mel_len]
+            f0[i, : r.mel_len] = r.f0_norm[: r.mel_len]
+            en[i, : r.mel_len] = r.energy01[: r.mel_len]
+            mel_len[i] = r.mel_len
+            spk[i] = np.ravel(speaker_embeds[ri])
+
+        out = self._encode(
+            jnp.asarray(src_seq), jnp.asarray(src_len), jnp.asarray(mel),
+            jnp.asarray(f0), jnp.asarray(en), jnp.asarray(mel_len),
+            jnp.asarray(spk), 1.0, 1.0, 1.0, M_out,
+        )
+        enc = out.encodings
+        outs = self._comb_jit(
+            enc["t"], enc["t_neck"], enc["n"], enc["d"], enc["p_down"],
+            enc["e"], enc["s"], enc["s_down"], out.src_mask, M_out,
+        )
+        titles = [f"{comb:05b}" for comb in range(32)]
+        return self._mix_results(titles, *outs)
 
 
 def load_reference(

@@ -88,6 +88,91 @@ def train_step(
     return new_state, components
 
 
+def train_step_accum(
+    model: STYLER,
+    state: TrainState,
+    batch: Dict,
+    dropout_rng: jax.Array,
+    dat_weight: float = 1.0,
+    acc_steps: int = 2,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Gradient accumulation (reference train.py:175-178, hparams.py:97).
+
+    TPU-first re-expression of the reference's host-side "divide the
+    loss, step the optimizer every acc_steps iterations": the [B] batch
+    is split into acc_steps microbatches scanned inside ONE jitted
+    program — grads are summed in the scan carry, averaged, and applied
+    in a single optimizer update (one dispatch per update instead of
+    acc_steps). BatchNorm stats chain through the carry (one momentum
+    step per microbatch, like the reference's per-forward updates) and
+    dropout keys fold per microbatch.
+
+    Practically important on this chip: XLA's space-to-batch pass
+    crashes on the audio-encoder backprop filter conv at small batch
+    (CLAUDE.md "Known XLA bug") — small-microbatch accumulation
+    composes with core/xla_flags.apply_workarounds(), which
+    cli/train.py applies whenever batch_size/acc_steps < 8.
+    """
+    B = batch["src_seq"].shape[0]
+    assert B % acc_steps == 0, f"batch {B} not divisible by acc_steps {acc_steps}"
+    mb = B // acc_steps
+    split = jax.tree.map(
+        lambda x: x.reshape(acc_steps, mb, *x.shape[1:]), batch
+    )
+    rngs = jax.random.split(dropout_rng, acc_steps)
+
+    def body(carry, inp):
+        grads_acc, bstats = carry
+        mbatch, rng = inp
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": bstats}
+            out, mutated = model.apply(
+                variables,
+                **_forward_kwargs(mbatch),
+                deterministic=False,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            dat_aug = model.apply(
+                variables,
+                mbatch["mel_aug"],
+                mbatch["f0_norm_aug"],
+                mbatch["e_input_aug"],
+                mbatch["mel_len"],
+                mbatch["src_len"],
+                out.src_mask,
+                method="forward_dat",
+            )
+            total, components = styler_loss(
+                out,
+                mbatch["mel_target"],
+                mbatch["mel_aug"],
+                mbatch["log_d_target"],
+                mbatch["p_target"],
+                mbatch["e_target"],
+                dat_aug,
+                dat_weight,
+            )
+            return total, (components, mutated["batch_stats"])
+
+        (_, (components, new_bstats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+        return (grads_acc, new_bstats), components
+
+    zeros = jax.tree.map(jnp.zeros_like, state.params)
+    (grads_sum, new_bstats), comps = jax.lax.scan(
+        body, (zeros, state.batch_stats), (split, rngs)
+    )
+    grads = jax.tree.map(lambda g: g / acc_steps, grads_sum)
+    components = jax.tree.map(lambda c: c.mean(0), comps)
+    new_state = state.apply_gradients(grads=grads, batch_stats=new_bstats)
+    return new_state, components
+
+
 def eval_step(
     model: STYLER, state: TrainState, batch: Dict, dat_weight: float = 1.0
 ) -> Dict[str, jnp.ndarray]:
@@ -119,6 +204,16 @@ def eval_step(
 
 
 def make_jitted_train_step(model: STYLER, config: Config, donate: bool = True):
-    """jit-compiled train step with state donation (in-place buffers)."""
-    fn = functools.partial(train_step, model, dat_weight=config.dat_weight)
+    """jit-compiled train step with state donation (in-place buffers).
+    ``config.acc_steps > 1`` selects the gradient-accumulation step
+    (microbatch scan, one optimizer update)."""
+    if config.acc_steps > 1:
+        fn = functools.partial(
+            train_step_accum,
+            model,
+            dat_weight=config.dat_weight,
+            acc_steps=config.acc_steps,
+        )
+    else:
+        fn = functools.partial(train_step, model, dat_weight=config.dat_weight)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

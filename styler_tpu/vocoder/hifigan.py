@@ -248,7 +248,9 @@ def generator_apply_fused(
         ) + p["bias"].astype(dt)
         x = fused_resblock_stage(
             x,
-            branch_params_from_variables(params, i),
+            branch_params_from_variables(
+                params, i, n_branches=len(cfg.resblock_kernel_sizes)
+            ),
             kernel_sizes=tuple(cfg.resblock_kernel_sizes),
             dilations=tuple(cfg.resblock_dilation_sizes[0]),
             interpret=interpret,

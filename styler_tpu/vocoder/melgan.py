@@ -96,6 +96,12 @@ class MelGANGenerator(nn.Module):
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         dt = self.compute_dtype
+        # ConvTranspose1dTorch implements torch padding (k-u)//2, which
+        # matches melgan-neurips's padding=r//2+r%2 / output_padding=r%2
+        # only for even ratios — fail loudly rather than decode wrong.
+        assert all(r % 2 == 0 for r in cfg.ratios), (
+            f"MelGANGenerator supports even upsample ratios only, got {cfg.ratios}"
+        )
         # reference feeds torch-MelGAN `mel / log(10)` (utils.py:278)
         x = (mel * np.float32(1.0 / np.log(10.0))).astype(dt)
         mult = 2 ** len(cfg.ratios)

@@ -122,6 +122,43 @@ def test_bf16_mixed_precision_step(train_setup):
     )
 
 
+def test_gradient_accumulation_matches_full_batch():
+    """acc_steps=2 over microbatches of B/2 reproduces the full-batch
+    update (reference train.py:175-178). Dropout is disabled and all
+    lengths are equal, so the mean-of-microbatch-means equals the
+    full-batch masked mean. Exact equality is impossible even so: the
+    PostNet BatchNorm normalizes with per-MICRObatch statistics in train
+    mode (the reference's accumulation has the same property), so allow
+    sub-1% slack on the loss."""
+    from __graft_entry__ import _example_batch
+
+    nd_cfg = cfg.replace(
+        acc_steps=2,
+        encoder_dropout=0.0,
+        decoder_dropout=0.0,
+        style_predictor_dropout=0.0,
+    )
+    batch = _example_batch(nd_cfg, B=4, L=12, M=48)
+    model, state = create_train_state(nd_cfg, jax.random.PRNGKey(0), batch)
+
+    full_fn = make_jitted_train_step(model, nd_cfg.replace(acc_steps=1), donate=False)
+    acc_fn = make_jitted_train_step(model, nd_cfg, donate=False)
+    full_state, full_m = full_fn(state, batch, jax.random.PRNGKey(1))
+    acc_state, acc_m = acc_fn(state, batch, jax.random.PRNGKey(1))
+
+    assert int(acc_state.step) == 1
+    np.testing.assert_allclose(
+        float(acc_m["total"]), float(full_m["total"]), rtol=1e-2
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(acc_state.params),
+        jax.tree_util.tree_leaves(full_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=2e-5
+        )
+
+
 def test_multichip_dryrun_8_devices():
     from __graft_entry__ import dryrun_multichip
 
