@@ -162,7 +162,8 @@ def _emit(metric, rtf, detail):
                 "vs_baseline": round(rtf / 50.0, 3),
                 "detail": detail,
             }
-        )
+        ),
+        flush=True,  # lines must land as they complete under redirection
     )
 
 
@@ -192,6 +193,17 @@ def bench_mix(cfg):
     from styler_tpu.synthesis import ReferenceFeatures, load_synthesizer
 
     synth = load_synthesizer(cfg)
+    # Random-init weights predict ~0-frame durations (log_d head near 0
+    # => round(exp(0)-1)=0), which zeroes the RTF numerator while the
+    # decode still runs at the full mel bucket. Bias the duration head
+    # to a realistic speech rate (~8 frames/phoneme at 86 frames/s) so
+    # `mel_len` — and thus seconds-of-audio — matches what a trained
+    # checkpoint produces; the timed program is unchanged.
+    dp = synth.variables["params"]["style_modeling"]["duration_predictor"][
+        "linear_layer"
+    ]
+    dp["bias"] = dp["bias"] + float(np.log(8.0 + cfg.log_offset))
+    dp["kernel"] = dp["kernel"] * 0.02  # concentrate d near the bias
     rng = np.random.default_rng(0)
 
     def make_ref(seed, ml):

@@ -93,11 +93,23 @@ void track_f0_impl(const float* signal, int n, int sr, int hop, float f0_min,
         if (k >= lag_min && nccf[k] > best_score) best_score = nccf[k];
       }
       if (best_score < thresh) continue;
-      // octave guard (matches the numpy golden model): smallest lag within
-      // epsilon of the best score wins — subharmonic lags tie numerically
+      // Octave guard (matches the numpy golden model): smallest-lag
+      // LOCAL MAXIMUM within kOctaveDelta of the best score wins.
+      // Subharmonic lags (2T, 3T...) tie with the true period — and at
+      // non-integer periods the subharmonic lands nearer an integer lag
+      // and scores strictly higher, so a tiny epsilon is not enough.
+      const double kOctaveDelta = 0.045;
+      const double floor_score =
+          std::max(best_score - kOctaveDelta, (double)thresh);
       int best_k = -1;
       for (int k = lag_min; k <= max_lag; ++k) {
-        if (nccf[k] >= best_score - 1e-6) { best_k = k; break; }
+        // band edges pad with -2 exactly like the numpy golden model
+        const double left = (k > lag_min) ? nccf[k - 1] : -2.0;
+        const double right = (k < max_lag) ? nccf[k + 1] : -2.0;
+        if (nccf[k] >= floor_score && nccf[k] >= left && nccf[k] >= right) {
+          best_k = k;
+          break;
+        }
       }
       if (best_k < 0) continue;
 

@@ -27,6 +27,12 @@ import numpy as np
 
 _native_lib = None
 
+# Octave-guard tolerance: a candidate local maximum at a shorter lag
+# within this absolute NCCF distance of the global best wins (defeats
+# the systematic subharmonic preference at non-integer periods and
+# under additive noise; see tools/f0_benchmark.py).
+_OCTAVE_DELTA = 0.045
+
 
 def _load_native() -> Optional[ctypes.CDLL]:
     global _native_lib
@@ -104,14 +110,20 @@ def _frame_f0_numpy(
         band = nccf[lag_min: max_lag + 1]
         if band.size == 0:
             continue
-        # octave guard: prefer the smallest lag within epsilon of the best
-        # score (subharmonic lags of a periodic frame tie with the true
-        # period up to numeric noise)
         best = float(band.max())
-        k = int(np.argmax(band >= best - 1e-6)) + lag_min
-        score = nccf[k]
-        if score < thresh:
+        if best < thresh:
             continue
+        # Octave guard: subharmonic lags (2T, 3T...) of a periodic frame
+        # tie with the true period — and at NON-integer true periods the
+        # subharmonic can land nearer an integer lag and score strictly
+        # higher (0.2% at SNR inf, a few % under noise). Pick the
+        # smallest-lag LOCAL MAXIMUM within an absolute tolerance of the
+        # best score (RAPT's octave cost collapsed to a hard window).
+        pad = np.concatenate([[-2.0], band, [-2.0]])
+        local_max = (band >= pad[:-2]) & (band >= pad[2:])
+        cand = local_max & (band >= max(best - _OCTAVE_DELTA, thresh))
+        k = int(np.argmax(cand)) + lag_min
+        score = nccf[k]
         # parabolic interpolation around the peak
         if 0 < k < max_lag:
             y0, y1, y2 = nccf[k - 1], nccf[k], nccf[k + 1]

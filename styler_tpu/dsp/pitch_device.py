@@ -30,6 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from styler_tpu.dsp.pitch import _OCTAVE_DELTA
+
 
 def _params(sr: int, hop: int, f0_min: float, f0_max: float):
     lag_min = max(2, int(sr / f0_max))
@@ -101,8 +103,18 @@ def track_f0_padded(
         nccf_b = jnp.where(lag_ok, nccf, -jnp.inf)
 
         best = jnp.max(nccf_b, axis=1)  # [F]
-        # octave guard: smallest lag within 1e-6 of the best score
-        k = jnp.argmax(nccf_b >= best[:, None] - 1e-6, axis=1)  # [F]
+        # Octave guard (matches the numpy golden model, dsp/pitch.py):
+        # smallest-lag LOCAL MAXIMUM within _OCTAVE_DELTA of the best
+        # score wins — subharmonic lags tie with the true period, and at
+        # non-integer periods score strictly higher than it.
+        neg = jnp.full((nccf_b.shape[0], 1), -jnp.inf)
+        left = jnp.concatenate([neg, nccf_b[:, :-1]], axis=1)
+        right = jnp.concatenate([nccf_b[:, 1:], neg], axis=1)
+        floor = jnp.maximum(best - _OCTAVE_DELTA, thresh)
+        cand = (
+            (nccf_b >= left) & (nccf_b >= right) & (nccf_b >= floor[:, None])
+        )
+        k = jnp.argmax(cand, axis=1)  # [F]
         score = jnp.take_along_axis(nccf, k[:, None], axis=1)[:, 0]
 
         frame_peak = jnp.max(jnp.abs(frame), axis=1)

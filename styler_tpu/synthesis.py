@@ -402,12 +402,25 @@ class Synthesizer:
             ).reshape(B, -1)
         return mel_postnet, wav, p_pred, e_pred, mel_mask
 
+    @functools.partial(jax.jit, static_argnames=("self", "n"))
+    def _trim_jit(self, mel_postnet, wav, p_pred, e_pred, n):
+        """Device-side truncation of the padded outputs to the n-frame
+        bucket before the host fetch — the full mel bucket is ~45 MB per
+        32-combo call and the tunnel transfer dominates otherwise."""
+        return (
+            mel_postnet[:, :n],
+            wav[:, : n * self.config.hop_length],
+            p_pred[:, :n],
+            e_pred[:, :n],
+        )
+
     def _mix_results(self, titles, mel_postnet, wav, p_pred, e_pred, mel_mask):
         """Device outputs [B, ...] -> per-combo host dicts."""
-        mel_postnet = np.asarray(mel_postnet)
-        wav = np.asarray(wav)
-        p_pred, e_pred = np.asarray(p_pred), np.asarray(e_pred)
         mel_lens = (~np.asarray(mel_mask)).sum(-1)
+        n = bucket_for(int(mel_lens.max()), self.config.mel_buckets)
+        mel_postnet, wav, p_pred, e_pred = jax.device_get(
+            self._trim_jit(mel_postnet, wav, p_pred, e_pred, n)
+        )
         out = {}
         for i, title in enumerate(titles):
             ml = int(mel_lens[i])

@@ -247,6 +247,32 @@ def test_device_f0_batch_mixed_lengths():
         assert (g[voiced] > 71.0).all() and (g[voiced] < 798.0).all()
 
 
+def test_f0_synthetic_benchmark_bounds():
+    """Pin the tracker's error bounds on the DIO-characterization signal
+    families (tools/f0_benchmark.py; VERDICT r1 #8): steady/vibrato/
+    ramp/creaky/noisy pitch, with known ground truth. Bounds are ~2x the
+    measured 2026-08-17 numbers (GPE 0.006, FPE 3.8c, VDE 0.031) so real
+    regressions (e.g. octave-guard breakage: GPE 0.21 before the
+    local-maximum guard) trip while platform jitter does not."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.f0_benchmark import run as bench_run
+
+    rows = bench_run("numpy")
+    agg = {
+        k: float(np.nanmean([m[k] for m in rows.values()]))
+        for k in ("GPE", "FPE_cents", "VDE")
+    }
+    assert agg["GPE"] < 0.02, rows
+    assert agg["FPE_cents"] < 8.0, rows
+    assert agg["VDE"] < 0.07, rows
+    # clean (non-noise, non-vuv) cases: near-perfect tracking
+    clean = [m for n, m in rows.items() if not n.startswith(("noise", "vuv"))]
+    assert max(m["GPE"] for m in clean) < 0.03, rows
+
+
 def test_melfrontend_batch_matches_serial():
     """fe.batch == fe(...) per utterance, across different frame buckets."""
     from styler_tpu.core.config import default_config
