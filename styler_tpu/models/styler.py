@@ -76,6 +76,54 @@ class STYLER(nn.Module):
             mel_postnet = mel
         return mel, mel_postnet
 
+    def encode_style(
+        self,
+        src_seq: jnp.ndarray,
+        mel_target: jnp.ndarray,
+        mel_aug: jnp.ndarray,
+        p_norm: jnp.ndarray,
+        e_input: jnp.ndarray,
+        src_len: jnp.ndarray,
+        mel_len: jnp.ndarray,
+        max_src_len: Optional[int] = None,
+        max_mel_len: Optional[int] = None,
+        speaker_embed: Optional[jnp.ndarray] = None,
+        d_control: float = 1.0,
+        p_control: float = 1.0,
+        e_control: float = 1.0,
+    ) -> tuple:
+        """Style-modeling forward only (predicted-durations path, no
+        decode/postnet) — the encodings producer for the controllability
+        APIs. The reference populates its encoding caches with a FULL
+        forward whose decoded mels are discarded (synthesize.py:80-101);
+        this skips the two decodes those callers throw away.
+
+        Returns ``(encodings dict, src_mask, predicted mel_len)``."""
+        max_src_len = max_src_len or src_seq.shape[1]
+        max_mel_len = max_mel_len or mel_target.shape[1]
+        src_mask = mask_from_lengths(src_len, max_src_len)
+        sm: StyleModelingOutput = self.style_modeling(
+            src_seq,
+            speaker_embed,
+            mel_target,
+            mel_aug,
+            p_norm,
+            e_input,
+            src_len,
+            mel_len,
+            src_mask,
+            None,
+            max_mel_len,
+            None,
+            None,
+            None,
+            d_control,
+            p_control,
+            e_control,
+            True,
+        )
+        return sm.encodings, src_mask, sm.mel_len
+
     def forward_dat(
         self,
         mel_aug: jnp.ndarray,

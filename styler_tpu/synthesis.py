@@ -154,8 +154,9 @@ class Synthesizer:
         e_control,
         max_mel_len,
     ):
-        """Model forward only (no vocoder) — the encodings producer for
-        mix_and_match's 4-row base batch."""
+        """Style-modeling forward only (no decode/postnet/vocoder) — the
+        encodings producer for mix_and_match/inspect, which discard the
+        base mels. Returns (encodings, src_mask, predicted mel_len)."""
         return self.model.apply(
             self.variables,
             src_seq=src_seq,
@@ -171,6 +172,7 @@ class Synthesizer:
             d_control=d_control,
             p_control=p_control,
             e_control=e_control,
+            method="encode_style",
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "max_mel_len"))
@@ -438,6 +440,33 @@ class Synthesizer:
             self.variables, x, method=lambda m, v: m.style_modeling.pitch_linear(v)
         )
 
+    def _pack_rows(self, ids_rows, ref_rows, spk_rows):
+        """Pad parallel (token ids, ReferenceFeatures, speaker embed)
+        rows into the bucketed [B, L]/[B, M_in] device arrays the
+        encode/forward programs take."""
+        cfg = self.config
+        B = len(ids_rows)
+        L = bucket_for(max(len(i) for i in ids_rows), cfg.src_buckets)
+        M_in = bucket_for(max(r.mel_len for r in ref_rows), cfg.mel_buckets)
+        src_seq = np.zeros((B, L), np.int32)
+        src_len = np.ones(B, np.int32)
+        mel = np.zeros((B, M_in, cfg.n_mel_channels), np.float32)
+        f0 = np.zeros((B, M_in), np.float32)
+        en = np.zeros((B, M_in), np.float32)
+        mel_len = np.ones(B, np.int32)
+        spk = np.zeros((B, len(np.ravel(spk_rows[0]))), np.float32)
+        for i, (ids, r, s) in enumerate(zip(ids_rows, ref_rows, spk_rows)):
+            src_seq[i, : len(ids)] = ids
+            src_len[i] = len(ids)
+            mel[i, : r.mel_len] = r.mel[: r.mel_len]
+            f0[i, : r.mel_len] = r.f0_norm[: r.mel_len]
+            en[i, : r.mel_len] = r.energy01[: r.mel_len]
+            mel_len[i] = r.mel_len
+            spk[i] = np.ravel(s)
+        return tuple(
+            jnp.asarray(a) for a in (src_seq, src_len, mel, f0, en, mel_len, spk)
+        )
+
     # ------------------------------------------------------------------
     # Inspection: style-factor ablations (reference synthesize.py:282-341)
     # ------------------------------------------------------------------
@@ -491,14 +520,20 @@ class Synthesizer:
 
     def inspect(self, sentence: str, ref: ReferenceFeatures, speaker_embed) -> Dict[str, Dict]:
         """Ablation grid: T, T+D, T+D+P, ..., T+D+P+E+S+N
-        (reference infer_inspection titles) — one base forward + one
-        batched 10-row decode."""
-        base = self.synthesize(sentence, ref, speaker_embed)
-        enc = base["encodings"]
+        (reference infer_inspection titles) — one base encode (no
+        decode: the ablation rows re-decode anyway) + one batched
+        10-row decode. The decode bucket stays at the max: the
+        duration-ablated rows (T, T+N) predict from t_neck alone, so
+        their lengths are not bounded by the base row's."""
+        ids = self.text_to_ids(sentence)
+        arrays = self._pack_rows([ids], [ref], [speaker_embed])
+        enc, src_mask, _ = self._encode(
+            *arrays, 1.0, 1.0, 1.0, self.config.mel_buckets[-1]
+        )
         outs = self._inspect_jit(
             enc["t"], enc["t_neck"], enc["d"], enc["s"], enc["e"], enc["n"],
             enc["p_down"], enc["s_down"],
-            jnp.asarray(base["src_mask"]),
+            src_mask,
             self.config.mel_buckets[-1],
         )
         return self._mix_results([c[0] for c in self._INSPECT_COMBOS], *outs)
@@ -549,41 +584,30 @@ class Synthesizer:
         b duration, c pitch, d energy, e speaker — 0=ref1, 1=ref2,
         matching the reference's create_enc_comb (synthesize.py:239-274).
 
-        Two dispatches total: one 4-row base forward for the encodings
-        ((text, ref) cross product) + one 32-row mixed decode."""
+        Two dispatches total: one 4-row base encode (style modeling
+        only; no decode — the mixed rows re-decode) + one 32-row mixed
+        decode."""
         cfg = self.config
         ids = [self.text_to_ids(s) for s in sentence_by_ref]
-        L = bucket_for(max(len(i) for i in ids), cfg.src_buckets)
-        M_in = bucket_for(max(r.mel_len for r in refs), cfg.mel_buckets)
-        M_out = cfg.mel_buckets[-1]
-
         # rows (text a, ref r) in order (0,0),(0,1),(1,0),(1,1)
-        src_seq = np.zeros((4, L), np.int32)
-        src_len = np.ones(4, np.int32)
-        mel = np.zeros((4, M_in, cfg.n_mel_channels), np.float32)
-        f0 = np.zeros((4, M_in), np.float32)
-        en = np.zeros((4, M_in), np.float32)
-        mel_len = np.ones(4, np.int32)
-        spk = np.zeros((4, len(np.ravel(speaker_embeds[0]))), np.float32)
-        for i, (ti, ri) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            src_seq[i, : len(ids[ti])] = ids[ti]
-            src_len[i] = len(ids[ti])
-            r = refs[ri]
-            mel[i, : r.mel_len] = r.mel[: r.mel_len]
-            f0[i, : r.mel_len] = r.f0_norm[: r.mel_len]
-            en[i, : r.mel_len] = r.energy01[: r.mel_len]
-            mel_len[i] = r.mel_len
-            spk[i] = np.ravel(speaker_embeds[ri])
-
-        out = self._encode(
-            jnp.asarray(src_seq), jnp.asarray(src_len), jnp.asarray(mel),
-            jnp.asarray(f0), jnp.asarray(en), jnp.asarray(mel_len),
-            jnp.asarray(spk), 1.0, 1.0, 1.0, M_out,
+        pairs = ((0, 0), (0, 1), (1, 0), (1, 1))
+        arrays = self._pack_rows(
+            [ids[ti] for ti, _ in pairs],
+            [refs[ri] for _, ri in pairs],
+            [speaker_embeds[ri] for _, ri in pairs],
         )
-        enc = out.encodings
+        enc, src_mask, base_mel_len = self._encode(
+            *arrays, 1.0, 1.0, 1.0, cfg.mel_buckets[-1]
+        )
+        # Every combo's duration input (t_neck of text a + d of ref b)
+        # is EXACTLY base row 2a+b's, so the max predicted combo length
+        # equals the max base mel_len: decode the 32 combos at the
+        # smallest bucket that holds it instead of always the largest
+        # (2x less decode+vocode work on typical sentence lengths).
+        M_comb = bucket_for(int(np.asarray(base_mel_len).max()), cfg.mel_buckets)
         outs = self._comb_jit(
             enc["t"], enc["t_neck"], enc["n"], enc["d"], enc["p_down"],
-            enc["e"], enc["s"], enc["s_down"], out.src_mask, M_out,
+            enc["e"], enc["s"], enc["s_down"], src_mask, M_comb,
         )
         titles = [f"{comb:05b}" for comb in range(32)]
         return self._mix_results(titles, *outs)

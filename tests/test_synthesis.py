@@ -82,6 +82,56 @@ def test_mix_and_match_32_combos(synth, ref, spk):
         assert r["wav"].shape[0] == r["mel_len"] * cfg.hop_length, comb
 
 
+def test_encode_style_matches_full_forward(synth, ref, spk):
+    """The decode-free encodings producer (STYLER.encode_style) used by
+    inspect/mix_and_match returns the same encodings, mask, and
+    predicted length as the full forward."""
+    out = synth.synthesize("Hi.", ref, spk)
+    ids = synth.text_to_ids("Hi.")
+    arrays = synth._pack_rows([ids], [ref], [spk])
+    enc, src_mask, mel_len = synth._encode(
+        *arrays, 1.0, 1.0, 1.0, cfg.mel_buckets[-1]
+    )
+    np.testing.assert_array_equal(np.asarray(src_mask), out["src_mask"])
+    assert int(np.asarray(mel_len)[0]) == out["mel_len"]
+    for k, v in out["encodings"].items():
+        np.testing.assert_allclose(
+            np.asarray(enc[k]), np.asarray(v), atol=1e-5, rtol=1e-5,
+        )
+
+
+def test_mixed_decode_bucket_invariance(synth, ref, spk):
+    """Valid-frame outputs of the mixed decode are independent of the
+    decode bucket size — the guarantee mix_and_match's length-bounded
+    bucket selection relies on (masked decoder; postnet sees identical
+    padding around uncapped sequences)."""
+    import jax.numpy as jnp
+
+    out = synth.synthesize("Hi.", ref, spk)
+    enc = out["encodings"]
+    args = (
+        enc["t"], enc["t_neck"], enc["d"], enc["s"], enc["e"], enc["n"],
+        enc["p_down"], enc["s_down"], jnp.asarray(out["src_mask"]),
+    )
+    small = synth._inspect_jit(*args, 64)
+    big = synth._inspect_jit(*args, 128)
+    ml_small = (~np.asarray(small[4])).sum(-1)
+    ml_big = (~np.asarray(big[4])).sum(-1)
+    uncapped = [i for i in range(len(ml_small)) if ml_small[i] < 64]
+    assert uncapped, "all rows hit the 64-frame cap; test needs a shorter input"
+    for i in uncapped:
+        assert ml_small[i] == ml_big[i]
+        m = int(ml_small[i])
+        np.testing.assert_allclose(
+            np.asarray(small[0])[i, :m], np.asarray(big[0])[i, :m],
+            atol=2e-4, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(small[2])[i, :m], np.asarray(big[2])[i, :m],
+            atol=2e-4, rtol=1e-4,
+        )
+
+
 def test_synthesize_batch_matches_single(synth, ref, spk):
     """Batched path returns per-item results consistent with the single
     path (same jitted forward, batch axis only)."""
