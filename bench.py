@@ -403,6 +403,12 @@ def main():
     )
     args = parser.parse_args()
 
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    # Caches compiled programs across bench processes — cold-start only;
+    # steady-state timing (fenced in-program loops) is unaffected.
+    enable_persistent_cache()
+
     from styler_tpu.core.config import default_config
 
     cfg = default_config()

@@ -20,6 +20,10 @@ def main():
 
     import numpy as np
 
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from styler_tpu.core.config import default_config
     from styler_tpu.data.dataset import Dataset, batch_iterator, strip_host_fields
     from styler_tpu.train import create_train_state, eval_step

@@ -25,6 +25,10 @@ def main():
                              "dsp/pitch_device.py)")
     args = parser.parse_args()
 
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from styler_tpu.core.config import default_config
     from styler_tpu.data import vctk
 

@@ -18,6 +18,10 @@ def main():
     parser.add_argument("--snr_upper", type=int, default=25)
     args = parser.parse_args()
 
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from styler_tpu.core.config import default_config
     from styler_tpu.data import noise_mixer
 

@@ -20,6 +20,10 @@ def main():
     parser.add_argument("--noise_dir", type=str, default=None)
     args = parser.parse_args()
 
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from styler_tpu.core.config import default_config
     from styler_tpu.data import references
     from styler_tpu.data.vctk import mfa_align

@@ -60,6 +60,10 @@ def main() -> None:
     reply_stream = os.fdopen(os.dup(sys.stdout.fileno()), "w", buffering=1)
     sys.stdout = sys.stderr
 
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from styler_tpu.core.config import default_config
     from styler_tpu.data.audio_io import audiowrite
     from styler_tpu.synthesis import load_reference, load_synthesizer

@@ -58,6 +58,10 @@ def main():
 
     import numpy as np
 
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from styler_tpu.core.config import default_config
     from styler_tpu.data.audio_io import audiowrite
     from styler_tpu.data.sentences import sentences

@@ -64,6 +64,10 @@ def main():
     import jax
     import numpy as np
 
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from styler_tpu.core.config import default_config
     from styler_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
     from styler_tpu.data.dataset import (

@@ -51,6 +51,10 @@ def main() -> None:
 
     import jax
 
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from styler_tpu.core.config import default_config
     from styler_tpu.data.audio_io import read_wav
     from styler_tpu.dsp.mel import MelFrontend

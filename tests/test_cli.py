@@ -176,3 +176,27 @@ def test_serve_cli(tmp_path, monkeypatch):
     assert sr == 22050 and len(data) == by_id[1]["mel_len"] * 256 > 0
     assert os.path.exists(by_id[1]["wav_noisy"])
     assert not by_id[2]["ok"] and "error" in by_id[2]
+
+
+def test_enable_persistent_cache(tmp_path, monkeypatch):
+    """Compile-cache helper points jax at the dir, honors the env
+    override and the opt-out, and never clobbers explicit config."""
+    import jax
+
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        p = enable_persistent_cache(str(tmp_path / "xla"))
+        assert p == str(tmp_path / "xla")
+        assert os.path.isdir(p)
+        assert jax.config.jax_compilation_cache_dir == p
+
+        monkeypatch.setenv("STYLER_TPU_CACHE_DIR", str(tmp_path / "env"))
+        assert enable_persistent_cache() == str(tmp_path / "env")
+
+        monkeypatch.setenv("STYLER_TPU_NO_COMPILE_CACHE", "1")
+        assert enable_persistent_cache(str(tmp_path / "no")) is None
+        assert not (tmp_path / "no").exists()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

@@ -133,6 +133,10 @@ def main():
                     help="keep the workdir on success")
     args = ap.parse_args()
 
+    from styler_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from styler_tpu.core.config import default_config
 
     cfg = default_config()
