@@ -156,7 +156,11 @@ def test_serve_cli(tmp_path, monkeypatch):
             {"id": 0, "cmd": "ping"},
             {"id": 1, "sentence": "Hi.", "ref": "p001_001"},
             {"id": 2, "sentence": "Hi again.", "ref": "missing_ref"},
-            {"id": 3, "cmd": "shutdown"},
+            # a non-.wav client path must be normalized, not silently
+            # truncated (regression: "x.flac" used to become "x._noisy.wav")
+            {"id": 3, "sentence": "Hi.", "ref": "p001_001",
+             "out": str(outdir / "custom.flac")},
+            {"id": 4, "cmd": "shutdown"},
         ]
         proc.stdin.write("".join(json.dumps(r) + "\n" for r in reqs))
         proc.stdin.flush()
@@ -167,8 +171,13 @@ def test_serve_cli(tmp_path, monkeypatch):
         proc.kill()
 
     by_id = {l["id"]: l for l in lines}
-    assert by_id[0]["pong"] and by_id[3]["bye"]
+    assert by_id[0]["pong"] and by_id[4]["bye"]
     assert by_id[1]["ok"], by_id[1]
+    assert by_id[3]["ok"], by_id[3]
+    assert by_id[3]["wav"].endswith("custom.flac.wav")
+    assert by_id[3]["wav_noisy"].endswith("custom.flac_noisy.wav")
+    assert os.path.exists(by_id[3]["wav"])
+    assert os.path.exists(by_id[3]["wav_noisy"])
     sr, data = wavfile.read(by_id[1]["wav"])
     # random weights predict near-zero durations, so assert the written
     # audio is consistent with the reported mel_len (hop 256), not an

@@ -189,3 +189,30 @@ def test_prefetch_iterator():
     assert out == list(range(7))
     # empty iterator terminates
     assert list(prefetch(iter([]))) == []
+
+
+def test_vctk_chunked_f0_fallback(mini_corpus, monkeypatch):
+    """A failing batched f0 call must not kill the corpus build: the
+    chunk falls back to per-utterance tracking and only the genuinely
+    bad utterance is dropped (recorded like the pre-chunking code did).
+    Regression test for the round-1 advisor finding on data/vctk.py."""
+    import styler_tpu.data.vctk as vctk_mod
+
+    in_dir, out_dir = mini_corpus
+    real = vctk_mod.track_f0_batch
+    calls = {"single": 0}
+
+    def flaky(wavs, *a, **k):
+        if len(wavs) > 1:
+            raise RuntimeError("batch tracker blew up")
+        calls["single"] += 1
+        if calls["single"] == 1:  # first utterance is the bad one
+            raise RuntimeError("bad utterance")
+        return real(wavs, *a, **k)
+
+    monkeypatch.setattr(vctk_mod, "track_f0_batch", flaky)
+    train, val = vctk_mod.build_from_path(in_dir, out_dir, cfg)
+    # 3 staged, 1 bad: the build survives with the other 2 (split puts
+    # the first shuffled utterance per speaker into val)
+    assert len(train) + len(val) == 2
+    assert calls["single"] == 3  # fallback visited every chunk member

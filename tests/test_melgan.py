@@ -5,6 +5,7 @@ nn.Sequential index layout the weight importer decodes and the
 mel/log(10) input contract."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -134,3 +135,15 @@ def test_melgan_in_synthesizer_contract(rng):
     wav = np.asarray(gen.apply(v, mel))
     assert wav.shape == (1, 8 * 256)
     assert np.abs(wav).max() <= 1.0
+
+
+def test_melgan_odd_ratio_fails_loudly(rng):
+    """Odd upsample ratios are not equivalent under the torch-padding
+    ConvTranspose port (melgan-neurips uses r//2 + r%2 with
+    output_padding) — the generator must reject them instead of decoding
+    wrong. Regression test for the round-1 advisor finding."""
+    cfg = MelGANConfig(num_mels=6, ngf=2, n_residual_layers=1, ratios=(3, 2))
+    gen = MelGANGenerator(cfg, compute_dtype=jnp.float32)
+    mel = jnp.zeros((1, 8, cfg.num_mels), jnp.float32)
+    with pytest.raises(AssertionError, match="even upsample ratios"):
+        gen.init(jax.random.PRNGKey(0), mel)

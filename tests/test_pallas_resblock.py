@@ -113,3 +113,28 @@ def test_generator_fused_full_parity(rng):
     )
     assert got.shape == golden.shape == (1, 8 * 256)
     np.testing.assert_allclose(got, golden, rtol=1e-4, atol=1e-5)
+
+
+def test_generator_fused_custom_branch_count(rng):
+    """generator_apply_fused must honor a non-default number of resblock
+    kernels (regression: it used to hard-code n_branches=3 and KeyError
+    on 1-branch topologies like the vocoder trainer's TINY_GEN)."""
+    from styler_tpu.vocoder.hifigan import generator_fused_supported
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(8, 8),
+        upsample_kernel_sizes=(16, 16),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),),
+    )
+    mel = jnp.asarray(rng.standard_normal((1, 8, 80)).astype(np.float32))
+    gen = Generator(cfg, compute_dtype=jnp.float32)
+    v = jax.jit(gen.init)(jax.random.PRNGKey(0), mel)
+    assert generator_fused_supported(mel.shape[1], cfg)
+    golden = np.asarray(gen.apply(v, mel))
+    got = np.asarray(
+        generator_apply_fused(v, mel, cfg, compute_dtype=jnp.float32, interpret=True)
+    )
+    assert got.shape == golden.shape == (1, 8 * 64)
+    np.testing.assert_allclose(got, golden, rtol=1e-4, atol=1e-5)
