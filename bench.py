@@ -6,6 +6,7 @@ Default (no args) runs ALL configs, ONE JSON line each:
 `--config` selects a single BASELINE.md config:
   single      headline: 1 sentence x 1 ref, clean+noisy decode
   batched     batched synthesis: 16 sentences x refs in one jitted call
+  noisy       noisy-ref style transfer, Residual Decoding on vs off
   mix         style mix-and-match: the REAL Synthesizer.mix_and_match
   train       full jitted optimizer step throughput
   preprocess  host+device preprocessing throughput (STFT/mel/energy + f0)
@@ -258,6 +259,78 @@ def bench_mix(cfg):
     )
 
 
+def bench_noisy(cfg, B=1, L=128, M=1024):
+    """Noisy-reference style transfer (BASELINE.md measurement config 3):
+    WHAM!-mixed reference features in — the `--noisy_input` path feeds
+    the aug features to BOTH the clean and aug input channels (reference
+    synthesize.py:420-433) — with Residual Decoding on vs off:
+
+      on   dual decode: denoised wav + re-noised (residual) wav
+           (reference styler.py:51-55; what `--noisy_input` ships)
+      off  `STYLER(..., residual=False)`: only the denoised output is
+           decoded and vocoded — the static flag removes the second
+           half of the batched decode and the second vocoder pass
+
+    One JSON line; RTF is the ON number (the shipped noisy-transfer
+    path), with the OFF rtf and the residual-decoding overhead in
+    `detail`."""
+    import jax
+    import jax.numpy as jnp
+
+    from styler_tpu.models import STYLER
+    from styler_tpu.vocoder import Generator
+
+    batch = _example_batch(cfg, B, L, M)
+    batch = dict(batch, mel_target=batch["mel_aug"])  # --noisy_input contract
+    model = STYLER(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
+    gen = Generator()
+    gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+    vocode, fused = _make_vocode(gen, M)
+
+    def make_synth(residual):
+        @jax.jit
+        def synth(model_vars, voc_vars, batch, carry):
+            batch = dict(batch, mel_target=batch["mel_target"] + carry)
+            out = model.apply(
+                model_vars, **batch, max_mel_len=M, residual=residual
+            )
+            if not residual:
+                return jnp.sum(vocode(voc_vars, out.mel_postnet))
+            if fused:
+                return jnp.sum(
+                    vocode(
+                        voc_vars,
+                        jnp.concatenate(
+                            [out.mel_postnet, out.mel_postnet_noisy], axis=0
+                        ),
+                    )
+                )
+            return jnp.sum(vocode(voc_vars, out.mel_postnet)) + jnp.sum(
+                vocode(voc_vars, out.mel_postnet_noisy)
+            )
+
+        return synth
+
+    on = make_synth(True)
+    off = make_synth(False)
+    dt_on = _time(lambda c: on(variables, gen_vars, batch, c))
+    dt_off = _time(lambda c: off(variables, gen_vars, batch, c))
+    audio_sec = B * M * cfg.hop_length / cfg.sampling_rate
+    _emit(
+        "noisy_ref_style_transfer_rtf",
+        audio_sec / dt_on,
+        {
+            "batch": B,
+            "residual_decoding": "on",
+            "step_ms": round(dt_on * 1e3, 2),
+            "rtf_residual_off": round(audio_sec / dt_off, 2),
+            "step_ms_residual_off": round(dt_off * 1e3, 2),
+            "residual_overhead_pct": round(100 * (dt_on - dt_off) / dt_off, 1),
+        },
+    )
+
+
 def bench_train(cfg):
     """Training throughput: full jitted optimizer step (teacher-forced
     forward + DAT second pass + backward + Noam Adam) at the reference
@@ -392,7 +465,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--config",
-        choices=["all", "single", "batched", "mix", "preprocess", "train"],
+        choices=["all", "single", "batched", "noisy", "mix", "preprocess", "train"],
         default="all",
         help="'all' (default) runs every BASELINE.md config, one JSON "
         "line each, so the driver-captured history tracks the full matrix",
@@ -417,6 +490,7 @@ def main():
     runners = {
         "single": lambda: bench_synth(cfg, 1, 128, 1024, "e2e_text_to_waveform_rtf"),
         "batched": lambda: bench_synth(cfg, 16, 128, 1024, "batched_synthesis_rtf"),
+        "noisy": lambda: bench_noisy(cfg),
         "mix": lambda: bench_mix(cfg),
         "train": lambda: bench_train(cfg),
         "preprocess": lambda: bench_preprocess(cfg),

@@ -164,6 +164,7 @@ class STYLER(nn.Module):
         e_control: float = 1.0,
         deterministic: bool = True,
         train: bool = False,
+        residual: bool = True,
     ) -> StylerOutput:
         max_src_len = max_src_len or src_seq.shape[1]
         max_mel_len = max_mel_len or mel_target.shape[1]
@@ -200,6 +201,31 @@ class STYLER(nn.Module):
         # decoder ops are batch-independent with running-average BN; in
         # train mode they stay separate so the PostNet BatchNorm batch
         # statistics match the reference's two sequential forwards.
+        # ``residual=False`` (static) skips the Residual decode entirely —
+        # an inference knob for when only the denoised output is consumed
+        # (e.g. noisy-reference style transfer that discards the
+        # re-noised wav; BASELINE.md measurement config 3). The noisy
+        # output slots then alias the clean arrays so the contract shape
+        # is unchanged at zero extra compute.
+        if not residual:
+            mel, mel_postnet = self.decode(
+                sm.encoder_output, out_mel_mask, deterministic, train
+            )
+            mel_noisy, mel_postnet_noisy = mel, mel_postnet
+            return StylerOutput(
+                mel=mel,
+                mel_noisy=mel_noisy,
+                mel_postnet=mel_postnet,
+                mel_postnet_noisy=mel_postnet_noisy,
+                log_d_prediction=sm.log_d_prediction,
+                p_prediction=sm.p_prediction,
+                e_prediction=sm.e_prediction,
+                src_mask=src_mask,
+                mel_mask=out_mel_mask,
+                mel_len=out_mel_len,
+                dat_posteriors=sm.dat_posteriors,
+                encodings=sm.encodings,
+            )
         noisy_in = jax.lax.stop_gradient(sm.encoder_output) + sm.noise_encoding
         if train:
             mel, mel_postnet = self.decode(

@@ -189,3 +189,31 @@ def test_grl_reverses_dat_gradient_into_encoder(model_and_params):
     sm = grads["style_modeling"]
     assert max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda x: float(jnp.abs(x).max()), sm["audio_encoder"]["lstm_d"]))) > 0
     assert max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda x: float(jnp.abs(x).max()), sm["augmentation_classifier_d"]))) > 0
+
+
+def test_residual_flag_skips_noisy_decode(model_and_params):
+    """`residual=False` (static inference knob; BASELINE.md measurement
+    config 3 "Residual Decoding off") must return clean outputs
+    bit-identical to the default dual-decode path, with the noisy
+    output slots aliasing the clean arrays."""
+    model, variables, batch = model_and_params
+    infer_batch = {
+        k: v
+        for k, v in batch.items()
+        if k not in ("d_target", "p_target", "e_target")
+    }
+    on = model.apply(variables, **infer_batch)
+    off = model.apply(variables, **infer_batch, residual=False)
+    np.testing.assert_array_equal(np.asarray(off.mel), np.asarray(on.mel))
+    np.testing.assert_array_equal(
+        np.asarray(off.mel_postnet), np.asarray(on.mel_postnet)
+    )
+    # noisy slots alias clean (shape contract kept, no extra compute)
+    np.testing.assert_array_equal(
+        np.asarray(off.mel_postnet_noisy), np.asarray(off.mel_postnet)
+    )
+    # and the ON path's residual decode is genuinely different
+    assert not np.array_equal(
+        np.asarray(on.mel_postnet_noisy), np.asarray(on.mel_postnet)
+    )
+    np.testing.assert_array_equal(np.asarray(off.mel_len), np.asarray(on.mel_len))
