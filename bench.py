@@ -27,6 +27,12 @@ import time
 
 import numpy as np
 
+# --smoke: tiny shapes + minimal timing loops so every config executes
+# in seconds (CPU-safe) — a correctness harness for the bench itself
+# (tests/test_bench_smoke.py), NOT a measurement. Smoke lines carry
+# detail.smoke=true so the numbers can't be mistaken for real ones.
+_SMOKE = False
+
 
 def _example_batch(cfg, B, L, M, seed=0):
     import jax.numpy as jnp
@@ -128,7 +134,9 @@ def _time(fn, iters=10):
     # overhead that scales with program size (~40 ms for the full model),
     # which a real TPU host does not pay (~100 us). lax.fori_loop chains
     # the carry through every inner iteration, so all of them execute.
-    inner = 8
+    inner = 2 if _SMOKE else 8
+    if _SMOKE:
+        iters = 1
 
     @jax.jit
     def repeat(carry):
@@ -141,7 +149,7 @@ def _time(fn, iters=10):
     # measurement batches — honest (same program, same inputs chain) and
     # robust when the interference is transient.
     best = float("inf")
-    for _ in range(3):
+    for _ in range(1 if _SMOKE else 3):
         t0 = time.perf_counter()
         for _ in range(iters):
             carry = repeat(carry * 1e-30)
@@ -154,6 +162,8 @@ def _emit(metric, rtf, detail):
     import jax
 
     detail["device"] = str(jax.devices()[0])
+    if _SMOKE:
+        detail["smoke"] = True
     print(
         json.dumps(
             {
@@ -217,12 +227,19 @@ def bench_mix(cfg):
         )
 
     sentences = (
-        "The quick brown fox jumps over the lazy dog.",
-        "She sells sea shells by the sea shore.",
+        ("Hi there.", "Go now.")
+        if _SMOKE  # fits the --smoke src buckets
+        else (
+            "The quick brown fox jumps over the lazy dog.",
+            "She sells sea shells by the sea shore.",
+        )
     )
     spk = rng.standard_normal((2, 512)).astype(np.float32)
     spk /= np.linalg.norm(spk, axis=1, keepdims=True)
-    refs0 = (make_ref(1, 448), make_ref(2, 384))
+    # 448/384-frame refs at the production 1024 bucket; scaled down
+    # proportionally under --smoke's small mel buckets
+    Mmax = cfg.mel_buckets[-1]
+    refs0 = (make_ref(1, Mmax * 7 // 16), make_ref(2, Mmax * 3 // 8))
 
     def run(i):
         # perturb the reference features per call: identical (program,
@@ -240,8 +257,8 @@ def bench_mix(cfg):
     audio_sec = sum(r["mel_len"] for r in results.values()) * cfg.hop_length / cfg.sampling_rate
     best = float("inf")
     i = 1
-    for _ in range(3):
-        iters = 2
+    for _ in range(1 if _SMOKE else 3):
+        iters = 1 if _SMOKE else 2
         t0 = time.perf_counter()
         for _ in range(iters):
             run(i)
@@ -340,7 +357,7 @@ def bench_train(cfg):
 
     from styler_tpu.train import create_train_state, make_jitted_train_step
 
-    B, L, M = cfg.batch_size, 128, 1024
+    B, L, M = cfg.batch_size, (16 if _SMOKE else 128), (128 if _SMOKE else 1024)
     rng = np.random.default_rng(0)
     batch = _example_batch(cfg, B, L, M)
     d = np.full((B, L), M // L, dtype=np.int32)
@@ -371,6 +388,14 @@ def bench_train(cfg):
 
     dt = _time(run, iters=5)
     frames_per_sec = B * M / dt
+    detail = {
+        "steps_per_sec": round(1.0 / dt, 2),
+        "step_ms": round(dt * 1e3, 1),
+        "batch": B,
+        "device": str(_jax.devices()[0]),
+    }
+    if _SMOKE:
+        detail["smoke"] = True
     print(
         json.dumps(
             {
@@ -379,12 +404,7 @@ def bench_train(cfg):
                 "unit": "mel_frames_per_sec_per_chip",
                 # multiples of the 86.13 frames/s real-time mel rate
                 "vs_baseline": round(frames_per_sec / cfg.n_frames_per_sec, 1),
-                "detail": {
-                    "steps_per_sec": round(1.0 / dt, 2),
-                    "step_ms": round(dt * 1e3, 1),
-                    "batch": B,
-                    "device": str(_jax.devices()[0]),
-                },
+                "detail": detail,
             }
         )
     )
@@ -405,7 +425,7 @@ def bench_preprocess(cfg):
     from styler_tpu.dsp.pitch import track_f0, track_f0_batch
 
     fe = MelFrontend(cfg)
-    seconds = 5.0
+    seconds = 1.0 if _SMOKE else 5.0
     n = int(cfg.sampling_rate * seconds)
     rng = np.random.default_rng(0)
     t = np.arange(n) / cfg.sampling_rate
@@ -416,7 +436,7 @@ def bench_preprocess(cfg):
     # --- serial per-utterance path (original measurement) ---
     mel, en = fe(wav)  # compile
     np.asarray(mel)
-    iters = 8
+    iters = 1 if _SMOKE else 8
     t0 = time.perf_counter()
     for _ in range(iters):
         mel, en = fe(wav)
@@ -426,7 +446,7 @@ def bench_preprocess(cfg):
     dt_serial = (time.perf_counter() - t0) / iters
 
     # --- batched path: vmapped mel front end + batched f0 ---
-    B = 16
+    B = 2 if _SMOKE else 16
     wavs = [
         (np.roll(wav, 17 * i) + 0.001 * i).astype(np.float32) for i in range(B)
     ]  # distinct inputs (defeat memoization)
@@ -436,7 +456,7 @@ def bench_preprocess(cfg):
         [w * 32768.0 for w in wavs], cfg.sampling_rate, cfg.hop_length,
         cfg.f0_min, cfg.f0_max, backend=f0_backend,
     )  # compile
-    iters = 4
+    iters = 1 if _SMOKE else 4
     t0 = time.perf_counter()
     # i+1: i=0 would replay the warmup's exact inputs, which this
     # platform memoizes (CLAUDE.md) — the iteration would be free
@@ -474,7 +494,17 @@ def main():
         "--bf16", action="store_true",
         help="mixed-precision model compute (cli/train.py --bf16)",
     )
+    parser.add_argument(
+        "--smoke", action="store_true",
+        help="tiny shapes + minimal loops: executes every config in "
+        "seconds (CPU-safe) to validate the bench itself; NOT a "
+        "measurement (lines carry detail.smoke=true)",
+    )
     args = parser.parse_args()
+
+    if args.smoke:
+        global _SMOKE
+        _SMOKE = True
 
     from styler_tpu.core.compile_cache import enable_persistent_cache
 
@@ -487,10 +517,16 @@ def main():
     cfg = default_config()
     if args.bf16:
         cfg = cfg.replace(compute_dtype="bfloat16")
+    if args.smoke:
+        cfg = cfg.replace(
+            batch_size=2, src_buckets=(16, 32), mel_buckets=(64, 128)
+        )
+    L, M = (16, 128) if args.smoke else (128, 1024)
+    Bn = 4 if args.smoke else 16
     runners = {
-        "single": lambda: bench_synth(cfg, 1, 128, 1024, "e2e_text_to_waveform_rtf"),
-        "batched": lambda: bench_synth(cfg, 16, 128, 1024, "batched_synthesis_rtf"),
-        "noisy": lambda: bench_noisy(cfg),
+        "single": lambda: bench_synth(cfg, 1, L, M, "e2e_text_to_waveform_rtf"),
+        "batched": lambda: bench_synth(cfg, Bn, L, M, "batched_synthesis_rtf"),
+        "noisy": lambda: bench_noisy(cfg, 1, L, M),
         "mix": lambda: bench_mix(cfg),
         "train": lambda: bench_train(cfg),
         "preprocess": lambda: bench_preprocess(cfg),

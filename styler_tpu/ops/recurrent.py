@@ -17,11 +17,25 @@ TPU-native replacement for the reference's nn.LSTM bottleneck encoders
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def scan_unroll() -> int:
+    """lax.scan unroll factor for the LSTM recurrences
+    (STYLER_TPU_SCAN_UNROLL, default 1).
+
+    The recurrent step is a tiny [2B, Ht] x [Ht, 4Ht] matmul; at T=1024
+    the scan is while-loop-iteration-latency bound, not FLOPs bound.
+    Unrolling folds `unroll` steps into each loop iteration so XLA can
+    schedule them together (the math is unchanged — same sequential
+    dependency chain, fewer loop-control round trips). Tune with
+    tools/unroll_experiment.py on the real chip."""
+    return int(os.environ.get("STYLER_TPU_SCAN_UNROLL", "1"))
 
 
 def flip_padded(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -59,7 +73,9 @@ def _lstm_scan(x: jnp.ndarray, w_hh: jnp.ndarray, gates_x: jnp.ndarray) -> jnp.n
         jnp.zeros((batch, hidden), gates_x.dtype),
         jnp.zeros((batch, hidden), gates_x.dtype),
     )
-    _, hs = jax.lax.scan(step, init, gates_x.transpose(1, 0, 2))
+    _, hs = jax.lax.scan(
+        step, init, gates_x.transpose(1, 0, 2), unroll=scan_unroll()
+    )
     return hs.transpose(1, 0, 2)
 
 
@@ -190,7 +206,9 @@ def fused_bilstm_branches(
             jnp.zeros((2, B, Ht), gx.dtype),
             jnp.zeros((2, B, Ht), gx.dtype),
         )
-        _, hs = jax.lax.scan(step, init, gx.transpose(2, 0, 1, 3))
+        _, hs = jax.lax.scan(
+            step, init, gx.transpose(2, 0, 1, 3), unroll=scan_unroll()
+        )
         hs = hs.transpose(1, 2, 0, 3)  # [2, B, T, Ht]
         h_bwd = flip_padded(hs[1], lengths)
         outs = [

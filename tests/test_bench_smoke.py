@@ -1,0 +1,39 @@
+"""The bench matrix is a driver deliverable (BENCH_r*.json records one
+JSON line per BASELINE.md config): if a refactor breaks a config, the
+round's artifact silently loses rows. `bench.py --smoke` executes every
+config end-to-end at tiny shapes — this pins that the full matrix still
+runs and emits well-formed lines (numbers are NOT meaningful: smoke
+lines carry detail.smoke=true)."""
+
+import json
+import sys
+
+EXPECTED_METRICS = {
+    "e2e_text_to_waveform_rtf",
+    "batched_synthesis_rtf",
+    "noisy_ref_style_transfer_rtf",
+    "mix_and_match_32combo_rtf",
+    "train_mel_frames_per_sec",
+    "preprocess_throughput_rtf",
+}
+
+
+def test_bench_smoke_emits_full_matrix(monkeypatch, capsys):
+    monkeypatch.setenv("STYLER_TPU_NO_COMPILE_CACHE", "1")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--smoke"])
+    import bench
+
+    monkeypatch.setattr(bench, "_SMOKE", False)  # main() must set it
+    bench.main()
+    lines = [
+        json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    by_metric = {l["metric"]: l for l in lines}
+    assert set(by_metric) == EXPECTED_METRICS
+    for line in lines:
+        assert line["value"] > 0
+        assert line["unit"]
+        assert "vs_baseline" in line
+        assert line["detail"]["smoke"] is True
