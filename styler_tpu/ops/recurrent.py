@@ -30,11 +30,15 @@ def scan_unroll() -> int:
     (STYLER_TPU_SCAN_UNROLL, default 1).
 
     The recurrent step is a tiny [2B, Ht] x [Ht, 4Ht] matmul; at T=1024
-    the scan is while-loop-iteration-latency bound, not FLOPs bound.
-    Unrolling folds `unroll` steps into each loop iteration so XLA can
-    schedule them together (the math is unchanged — same sequential
-    dependency chain, fewer loop-control round trips). Tune with
-    tools/unroll_experiment.py on the real chip."""
+    the scan could plausibly be loop-iteration-latency bound, so
+    `unroll=k` folds k steps per loop iteration (same math, fewer
+    loop-control round trips). MEASURED NEGATIVE on the real v5e
+    (tools/unroll_experiment.py, 2026-08-18, all variants one process):
+    train step 89.2/88.1/88.1/89.3 ms and B=1 forward 1.80/1.70/1.71/
+    1.74 ms at unroll 1/4/8/16 — ~1%, within platform noise. XLA:TPU's
+    while-loop overhead is already negligible next to the step's real
+    work. Default stays 1 (fastest compiles); the knob remains for
+    other hardware."""
     return int(os.environ.get("STYLER_TPU_SCAN_UNROLL", "1"))
 
 
