@@ -29,6 +29,21 @@ Measured (v5e, bf16, per stage, vs the XLA lax-conv path inside the full
 generator graph): C=128 T=65536: 2.5 ms vs ~9.7; see README perf notes.
 Forward-only: the vocoder is frozen at inference (reference
 utils.py:250-262); training never touches this path.
+
+Per-stage ceiling analysis (2026-08-18, B=2, T0=1024, tools-level
+breakdown): stages time 2.5/4.4/4.4/3.5 ms at C=256/128/64/32, i.e.
+107/123/62/38 TFLOP/s on RAW conv FLOPs. The late-stage "drop" is NOT
+schedule inefficiency: folding a dilation-d conv to f rows inflates
+executed FLOPs by n_offsets*f/k (zero blocks inside the block-Toeplitz
+wf — e.g. k=11 d=5 at f=4 runs ~2.9x the raw FLOPs), so effective MXU
+utilization is 56-78% across ALL stages. Folding less wastes lanes
+(C/128), folding more inflates dilated taps further: f = 128/C is the
+algorithmic sweet spot. Restructuring each conv as one concat-K matmul
+(offsets stacked on K so accumulation runs inside the MXU) measured
+IDENTICAL per-stage times — Mosaic already emitted an equivalent
+schedule for the per-offset form; the concat-K form is kept for
+clarity. Remaining levers (int8 MXU, per-dilation time permutation)
+are quality- or shuffle-cost-risky; parked.
 """
 
 from __future__ import annotations
@@ -119,14 +134,20 @@ def _stage_kernel(
 
     def conv(x, spec):
         w_start, offsets, b_idx = spec
-        acc = None
-        for i, q in enumerate(offsets):
-            part = jnp.dot(
-                _shift(x, q).astype(dt),
-                w_ref[w_start + i].astype(dt),
-                preferred_element_type=jnp.float32,
-            )
-            acc = part if acc is None else acc + part
+        n = len(offsets)
+        # One matmul per conv: the shifted views concatenate on the lane
+        # axis and the offsets' weight blocks stack on K, so the
+        # per-offset accumulation happens inside the MXU instead of as
+        # n-1 separate [L, Cf] f32 vector adds. Cast BEFORE shifting so
+        # the copies move bf16, not f32.
+        xc = x.astype(dt)
+        a = jnp.concatenate([_shift(xc, q) for q in offsets], axis=1)
+        w = w_ref[w_start: w_start + n].astype(dt)  # [n, Cf, Cf]
+        acc = jnp.dot(
+            a,
+            w.reshape(n * w.shape[1], w.shape[2]),
+            preferred_element_type=jnp.float32,
+        )
         return (acc + b_ref[b_idx: b_idx + 1].astype(jnp.float32)) * in_seq
 
     total = None
