@@ -26,7 +26,7 @@ def main():
 
     from styler_tpu.core.config import default_config
     from styler_tpu.data.dataset import Dataset, batch_iterator, strip_host_fields
-    from styler_tpu.train import create_train_state, eval_step
+    from styler_tpu.train import create_train_state, make_jitted_eval_step
     import jax
 
     cfg = default_config().replace(version=args.version)
@@ -50,9 +50,10 @@ def main():
 
         state = restore_checkpoint(cfg.checkpoint_path(), args.restore_step, state)
 
+    eval_fn = make_jitted_eval_step(model, cfg)
     sums, count = {}, 0
     for batch in batch_iterator(dataset, cfg, shuffle=False, drop_last=False):
-        comps = eval_step(model, state, strip_host_fields(batch), cfg.dat_weight)
+        comps = eval_fn(state, strip_host_fields(batch))
         for k, v in comps.items():
             sums[k] = sums.get(k, 0.0) + float(v)
         count += 1

@@ -89,7 +89,11 @@ def main():
             f"distributed: process {jax.process_index()}/{jax.process_count()},"
             f" {jax.device_count()} global devices"
         )
-    from styler_tpu.train import create_train_state, eval_step, make_jitted_train_step
+    from styler_tpu.train import (
+        create_train_state,
+        make_jitted_eval_step,
+        make_jitted_train_step,
+    )
     from styler_tpu.utils import (
         StepTimer,
         SummaryLogger,
@@ -159,6 +163,10 @@ def main():
         if n_data < len(jax.devices()):
             print(f"mesh: using {n_data}/{len(jax.devices())} devices (batch divisibility)")
     step_fn = make_jitted_train_step(model, cfg, donate=True)
+    eval_fn = make_jitted_eval_step(model, cfg)
+    # jitted inference forward for the synth_step monitoring panels —
+    # eager flax apply costs one tunnel RPC per op on axon (CLAUDE.md)
+    monitor_fwd = jax.jit(lambda variables, fwd: model.apply(variables, **fwd))
     vocode = _make_monitor_vocoder(cfg, args.vocoder_ckpt)
     log_path = cfg.log_path()
     os.makedirs(log_path, exist_ok=True)
@@ -223,9 +231,9 @@ def main():
                         batch_iterator(val_dataset, cfg, shuffle=False, drop_last=False)
                     )
                     fwd = _forward_only(strip_host_fields(vb))
-                    out = model.apply(
+                    out = monitor_fwd(
                         {"params": state.params, "batch_stats": state.batch_stats},
-                        **fwd,
+                        fwd,
                     )
                     _log_synth_panels(
                         cfg, tb_train, vocode, fwd, out, current_step,
@@ -245,8 +253,8 @@ def main():
                         val_losses.append(
                             {
                                 k: float(v)
-                                for k, v in eval_step(
-                                    model, state, strip_host_fields(vb), cfg.dat_weight
+                                for k, v in eval_fn(
+                                    state, strip_host_fields(vb)
                                 ).items()
                             }
                         )

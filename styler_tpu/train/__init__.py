@@ -9,6 +9,7 @@ from styler_tpu.train.optimizer import make_optimizer, noam_schedule  # noqa: F4
 from styler_tpu.train.state import TrainState, create_train_state  # noqa: F401
 from styler_tpu.train.step import (  # noqa: F401
     eval_step,
+    make_jitted_eval_step,
     make_jitted_train_step,
     train_step,
 )

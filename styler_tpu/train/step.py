@@ -203,6 +203,15 @@ def eval_step(
     return components
 
 
+def make_jitted_eval_step(model: STYLER, config: Config):
+    """jit-compiled eval_step. Eager flax apply costs one tunnel RPC per
+    op on the axon platform (CLAUDE.md) — a full-val-split eval loop
+    must run compiled. Recompiles are bounded by the shape buckets."""
+    return jax.jit(
+        functools.partial(eval_step, model, dat_weight=config.dat_weight)
+    )
+
+
 def make_jitted_train_step(model: STYLER, config: Config, donate: bool = True):
     """jit-compiled train step with state donation (in-place buffers).
     ``config.acc_steps > 1`` selects the gradient-accumulation step
