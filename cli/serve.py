@@ -51,6 +51,14 @@ def main() -> None:
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--src_buckets", type=int, nargs="+", default=None)
     parser.add_argument("--mel_buckets", type=int, nargs="+", default=None)
+    parser.add_argument(
+        "--warmup", action="store_true",
+        help="compile before serving: run one synthetic request per mel "
+        "bucket so the first real request pays ~19 ms, not a 20-60 s "
+        "compile (mostly a cache load when the persistent XLA compile "
+        "cache is warm). Sentences hitting other src buckets still "
+        "compile on first use.",
+    )
     args = parser.parse_args()
 
     # Own stdout exclusively: replies go to a private dup of the original
@@ -84,6 +92,30 @@ def main() -> None:
 
     synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt)
     os.makedirs(args.outdir, exist_ok=True)
+
+    if args.warmup:
+        import numpy as np
+
+        from styler_tpu.synthesis import ReferenceFeatures
+
+        t0 = time.perf_counter()
+        spk = np.zeros(cfg.speaker_embed_dim, np.float32)
+        spk[0] = 1.0
+        for mb in cfg.mel_buckets:
+            ref = ReferenceFeatures(
+                mel=np.zeros((mb, cfg.n_mel_channels), np.float32),
+                f0_norm=np.full(mb, 0.5, np.float32),
+                energy01=np.full(mb, 0.5, np.float32),
+                mel_len=mb,
+            )
+            synth.synthesize("This is a warm up sentence.", ref, spk)
+        print(
+            f"warmup: {len(cfg.mel_buckets)} mel buckets compiled in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
     ref_cache = {}
 
     def get_ref(name, speaker_id, noisy):

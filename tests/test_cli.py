@@ -147,7 +147,7 @@ def test_serve_cli(tmp_path, monkeypatch):
         [sys.executable, os.path.join("/root/repo", "cli/serve.py"),
          "--ref_audio_dir", str(ref_dir), "--ref_tg_dir", str(ref_dir),
          "--outdir", str(outdir),
-         "--src_buckets", "32", "--mel_buckets", "64"],
+         "--src_buckets", "32", "--mel_buckets", "64", "--warmup"],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
         cwd=str(tmp_path),
     )
