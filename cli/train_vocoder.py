@@ -38,6 +38,14 @@ def main() -> None:
     parser.add_argument("--mr_stft", type=float, default=0.0,
                         help="weight of the multi-resolution STFT loss "
                              "added to the generator objective (0 = off)")
+    parser.add_argument("--weight_norm", action="store_true",
+                        help="train in the weight-norm (g, v) "
+                             "parameterization like the published HiFi-GAN "
+                             "recipe (checkpoints are saved folded)")
+    parser.add_argument("--arch", choices=["hifigan", "istft"],
+                        default="hifigan",
+                        help="generator architecture: HiFi-GAN V1 or the "
+                             "2.8x-faster iSTFTNet C8C8I head")
     parser.add_argument("--init_ckpt", type=str, default=None,
                         help="warm-start generator from a torch HiFi-GAN "
                              "checkpoint (core/import_torch importer)")
@@ -93,19 +101,33 @@ def main() -> None:
 
     gen_params = None
     if args.init_ckpt:
+        if args.arch != "hifigan":
+            raise SystemExit("--init_ckpt (torch HiFi-GAN) requires --arch hifigan")
         from styler_tpu.core.checkpoint import load_reference_vocoder
 
         gen_params = load_reference_vocoder(args.init_ckpt, "HiFi-GAN")
         print(f"warm-started generator from {args.init_ckpt}")
+
+    generator = None
+    if args.arch == "istft":
+        import jax.numpy as jnp
+
+        from styler_tpu.vocoder.istft_net import ISTFTNetConfig, ISTFTNetGenerator
+
+        generator = ISTFTNetGenerator(ISTFTNetConfig(), compute_dtype=jnp.float32)
 
     opt = make_optimizer(
         args.lr, decay_gamma=args.decay_gamma, decay_every=args.decay_every
     )
     gen, disc, opt, state = create_gan_state(
         cfg, jax.random.PRNGKey(cfg.seed), args.segment_frames,
-        gen_params=gen_params, optimizer=opt,
+        generator=generator, gen_params=gen_params, optimizer=opt,
+        weight_norm=args.weight_norm,
     )
-    step_fn = make_gan_train_step(gen, disc, opt, cfg, mr_stft_weight=args.mr_stft)
+    step_fn = make_gan_train_step(
+        gen, disc, opt, cfg, mr_stft_weight=args.mr_stft,
+        weight_norm=args.weight_norm,
+    )
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(cfg.seed)
@@ -127,9 +149,13 @@ def main() -> None:
                 f.write(json.dumps(m) + "\n")
         if step % args.save_every == 0 or step == args.steps:
             from styler_tpu.core.checkpoint import save_vocoder_params
+            from styler_tpu.train.vocoder import wn_fold
 
+            out_params = state.gen_params
+            if args.weight_norm:  # checkpoints stay inference-ready
+                out_params = wn_fold(out_params)
             path = save_vocoder_params(
-                args.out_dir, step, jax.device_get(state.gen_params)
+                args.out_dir, step, jax.device_get(out_params)
             )
             print(f"saved generator -> {path}")
 

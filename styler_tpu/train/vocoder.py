@@ -41,6 +41,69 @@ class GANState(NamedTuple):
     step: jnp.ndarray
 
 
+def _wn_axes(kernel_ndim: int, transposed: bool):
+    """Norm-reduction axes for weight norm, matching torch's
+    ``weight_norm(..., dim=0)`` as used throughout the published HiFi-GAN
+    (hifigan/models.py wraps every conv): per-OUT-channel for Conv1d/2d,
+    per-IN-channel for ConvTranspose1d (torch transposed weights are
+    [in, out, k], so dim=0 is the input channel). Our layouts are
+    channels-last flax kernels [..., in, out] and ConvTranspose1dTorch
+    kernels [k, in, out]."""
+    if transposed:
+        return tuple(i for i in range(kernel_ndim) if i != kernel_ndim - 2)
+    return tuple(range(kernel_ndim - 1))
+
+
+def wn_split(params: dict) -> dict:
+    """Reparameterize every conv kernel as weight-norm (g, v) pairs:
+    ``kernel = g * v / ||v||`` with g initialized to ``||kernel||`` so
+    ``wn_fold(wn_split(p)) == p``. Training in this parameterization
+    reproduces the published recipe's optimization geometry (direction /
+    magnitude decoupling), which plain folded-kernel training loses.
+    Biases and non-conv leaves pass through untouched."""
+
+    def rec(d, transposed):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = rec(v, k.startswith("ups_"))
+            elif k == "kernel" and hasattr(v, "ndim") and v.ndim >= 3:
+                axes = _wn_axes(v.ndim, transposed)
+                out["kernel_g"] = jnp.sqrt(
+                    jnp.sum(jnp.square(v), axis=axes, keepdims=True)
+                )
+                out["kernel_v"] = v
+            else:
+                out[k] = v
+        return out
+
+    return rec(params, False)
+
+
+def wn_fold(wn_params: dict) -> dict:
+    """Inverse of :func:`wn_split`: reconstitute plain kernels
+    (``g * v / ||v||``) for inference / checkpoint export. Cheap enough
+    to run inside the jitted train step every iteration (the norms are
+    tiny reductions next to the conv FLOPs)."""
+
+    def rec(d, transposed):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = rec(v, k.startswith("ups_"))
+            elif k == "kernel_v":
+                axes = _wn_axes(v.ndim, transposed)
+                norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+                out["kernel"] = d["kernel_g"] * v / norm
+            elif k == "kernel_g":
+                continue
+            else:
+                out[k] = v
+        return out
+
+    return rec(wn_params, False)
+
+
 def make_mel_fn(config):
     """Jittable wav [B, T] -> log-mel [B, F, n_mels] for the mel loss —
     literally the data pipeline's MelFrontend analysis core
@@ -117,9 +180,20 @@ def create_gan_state(
     generator: Optional[Generator] = None,
     gen_params: Optional[dict] = None,
     optimizer: Optional[optax.GradientTransformation] = None,
+    weight_norm: bool = False,
 ):
     """Initialize generator (fresh or from imported params) +
-    discriminator + both optimizer states."""
+    discriminator + both optimizer states.
+
+    ``weight_norm=True`` stores BOTH param trees in the (g, v)
+    parameterization (:func:`wn_split`) — the published HiFi-GAN trains
+    every conv under torch ``weight_norm`` (hifigan/models.py) and folds
+    it only for inference (models.py:167-174). Pass the same flag to
+    :func:`make_gan_train_step`, and fold with :func:`wn_fold` before
+    saving / serving. Warm-started ``gen_params`` (imported checkpoints
+    arrive folded) are split automatically. Known deviation: the
+    published recipe puts SPECTRAL norm (not weight norm) on the first
+    MSD scale; here all discriminator convs use weight norm."""
     gen = generator or Generator(compute_dtype=jnp.float32)
     disc = HiFiGANDiscriminator()
     hop = config.hop_length
@@ -128,6 +202,9 @@ def create_gan_state(
     if gen_params is None:
         gen_params = jax.jit(gen.init)(rng, mel0)["params"]
     disc_params = jax.jit(disc.init)(jax.random.split(rng)[0], wav0)["params"]
+    if weight_norm:
+        gen_params = wn_split(gen_params)
+        disc_params = wn_split(disc_params)
     opt = optimizer or make_optimizer()
     return gen, disc, opt, GANState(
         gen_params=gen_params,
@@ -144,18 +221,26 @@ def make_gan_train_step(
     opt,
     config,
     mr_stft_weight: float = 0.0,
+    weight_norm: bool = False,
 ):
     """Returns jitted step(state, mel [B,F,80], wav [B,F*hop]) ->
     (state, metrics). mr_stft_weight > 0 adds the multi-resolution STFT
-    loss to the generator objective."""
+    loss to the generator objective. weight_norm=True expects the state's
+    param trees in the (g, v) parameterization (create_gan_state
+    ``weight_norm=True``) and folds them inside the step — gradients and
+    optimizer moments then live in weight-norm space, matching the
+    published recipe's dynamics."""
     mel_fn = make_mel_fn(config)
     mr_fn = make_mr_stft_loss_fn() if mr_stft_weight > 0 else None
+    g_fold = wn_fold if weight_norm else (lambda p: p)
+    d_fold = wn_fold if weight_norm else (lambda p: p)
 
     def step(state: GANState, mel: jnp.ndarray, wav: jnp.ndarray):
-        yhat_detached = gen.apply({"params": state.gen_params}, mel)
+        yhat_detached = gen.apply({"params": g_fold(state.gen_params)}, mel)
 
         # ---- discriminator update (generator frozen) ----
         def d_loss_fn(dp):
+            dp = d_fold(dp)
             lr_, _ = disc.apply({"params": dp}, wav)
             lf_, _ = disc.apply({"params": dp}, yhat_detached)
             loss = sum(
@@ -174,9 +259,9 @@ def make_gan_train_step(
         mel_real = mel_fn(wav)
 
         def g_loss_fn(gp):
-            yhat = gen.apply({"params": gp}, mel)
-            lf_, ff_ = disc.apply({"params": disc_params}, yhat)
-            _, fr_ = disc.apply({"params": disc_params}, wav)
+            yhat = gen.apply({"params": g_fold(gp)}, mel)
+            lf_, ff_ = disc.apply({"params": d_fold(disc_params)}, yhat)
+            _, fr_ = disc.apply({"params": d_fold(disc_params)}, wav)
             adv = sum(jnp.mean((1.0 - f) ** 2) for f in lf_)
             fm = sum(
                 jnp.mean(jnp.abs(jax.lax.stop_gradient(r) - f))
