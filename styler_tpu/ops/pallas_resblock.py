@@ -107,16 +107,23 @@ def _fold_conv_weights(w, b, dilation: int, fold: int):
 
 
 def _stage_kernel(
-    xm, xc, xp, w_ref, b_ref, out_ref,
+    xm, xc, xp, w_ref, b_ref, s_ref, out_ref,
     *,
     block_t: int,
     halo: int,
     seq_len: int,
     n_branches: int,
     conv_specs: Tuple,
+    quantize: bool,
 ):
     """conv_specs: per branch, a tuple of per-conv (w_start, offsets,
-    bias_idx) in chain order (c1_0, c2_0, c1_1, c2_1, ...)."""
+    bias_idx) in chain order (c1_0, c2_0, c1_1, c2_1, ...).
+
+    quantize=True runs each matmul on the int8 MXU path: weights arrive
+    pre-quantized (w_ref int8, per-conv per-output-channel scales in
+    s_ref); activations are quantized per tile with a dynamic abs-max
+    scale. Accumulation is int32, rescaled to f32 before bias/residual.
+    """
     dt = xc.dtype
     L = block_t + 2 * halo
 
@@ -135,6 +142,21 @@ def _stage_kernel(
     def conv(x, spec):
         w_start, offsets, b_idx = spec
         n = len(offsets)
+        if quantize:
+            # Dynamic per-tile activation scale; symmetric int8.
+            s_x = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6) * (1.0 / 127.0)
+            xq = jnp.clip(jnp.round(x * (1.0 / s_x)), -127, 127).astype(
+                jnp.int8
+            )
+            a = jnp.concatenate([_shift(xq, q) for q in offsets], axis=1)
+            w = w_ref[w_start: w_start + n]  # int8 [n, Cf, Cf]
+            acc = jnp.dot(
+                a,
+                w.reshape(n * w.shape[1], w.shape[2]),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * (s_x * s_ref[b_idx: b_idx + 1])
+            return (y + b_ref[b_idx: b_idx + 1]) * in_seq
         # One matmul per conv: the shifted views concatenate on the lane
         # axis and the offsets' weight blocks stack on K, so the
         # per-offset accumulation happens inside the MXU instead of as
@@ -179,7 +201,9 @@ def _block_rows_for(folded_channels: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_sizes", "dilations", "fold", "block_t", "interpret"),
+    static_argnames=(
+        "kernel_sizes", "dilations", "fold", "block_t", "interpret", "quantize"
+    ),
 )
 def fused_resblock_stage(
     x: jnp.ndarray,
@@ -189,6 +213,7 @@ def fused_resblock_stage(
     fold: int = 0,
     block_t: int = 0,
     interpret: bool = False,
+    quantize: bool = False,
 ) -> jnp.ndarray:
     """Mean over ResBlocks of the residual conv chains, fused in VMEM.
 
@@ -196,6 +221,14 @@ def fused_resblock_stage(
     size, with w* [n_dil, k, C, C] (flax nn.Conv layout stacked over
     dilations) and b* [n_dil, C]. Matches hifigan.Generator's per-stage
     `mean(ResBlock1_j(x))` exactly (tests/test_pallas_resblock.py).
+
+    quantize=True runs every conv matmul as int8 x int8 -> int32 on the
+    MXU (2x bf16 MXU throughput on v5e): weights per-output-channel
+    symmetric int8 computed here at trace time; activations quantized
+    per VMEM tile with a dynamic abs-max scale inside the kernel.
+    Approximate (quantization noise accumulates through 6 chained convs
+    per branch) — opt-in for inference only; quality bounds measured in
+    tools/int8_vocoder_experiment.py.
     """
     B, T, C = x.shape
     f = fold or max(1, TARGET_LANES // C)
@@ -229,8 +262,26 @@ def fused_resblock_stage(
                 all_b.append(bf)
         conv_specs.append(tuple(specs))
 
-    w_all = jnp.stack(all_w).astype(x.dtype)
-    b_all = jnp.stack(all_b)
+    b_all = jnp.stack(all_b).astype(jnp.float32)
+    if quantize:
+        w_master = jnp.stack(all_w)  # f32 [n_taps, Cf, Cf]
+        s_all = jnp.zeros((len(all_b), Cf), jnp.float32)
+        w_all = jnp.zeros(w_master.shape, jnp.int8)
+        for specs in conv_specs:
+            for (w_start, offsets, b_idx) in specs:
+                n = len(offsets)
+                blk = w_master[w_start: w_start + n]
+                # One scale per OUTPUT channel shared across the conv's
+                # taps (they sum into the same int32 accumulator).
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(blk), axis=(0, 1)), 1e-12
+                ) * (1.0 / 127.0)
+                q = jnp.clip(jnp.round(blk / s), -127, 127).astype(jnp.int8)
+                s_all = s_all.at[b_idx].set(s)
+                w_all = w_all.at[w_start: w_start + n].set(q)
+    else:
+        w_all = jnp.stack(all_w).astype(x.dtype)
+        s_all = jnp.zeros((len(all_b), Cf), jnp.float32)  # unused
 
     xf = x.reshape(B, Tf, Cf)
     xpad = jnp.pad(xf, ((0, 0), (bt, bt), (0, 0)))
@@ -245,6 +296,7 @@ def fused_resblock_stage(
     ] + [
         pl.BlockSpec(w_all.shape, lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(b_all.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(s_all.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
     ]
 
     kernel = functools.partial(
@@ -254,6 +306,7 @@ def fused_resblock_stage(
         seq_len=Tf,
         n_branches=len(branch_params),
         conv_specs=tuple(conv_specs),
+        quantize=quantize,
     )
     out = pl.pallas_call(
         kernel,
@@ -271,7 +324,7 @@ def fused_resblock_stage(
         # 3 input tiles + stack stay well under this explicit cap.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(xpad, xpad, xpad, w_all, b_all)
+    )(xpad, xpad, xpad, w_all, b_all, s_all)
     return out.reshape(B, T, C)
 
 

@@ -102,6 +102,12 @@ class Synthesizer:
             and os.environ.get("STYLER_TPU_FUSED_VOCODER", "1") != "0"
             and jax.default_backend() == "tpu"
         )
+        # Opt-in int8 MXU resblock matmuls (HiFi-GAN fused path only;
+        # approximate — measured quality/speed bounds in
+        # tools/int8_vocoder_experiment.py).
+        self._int8_vocoder = (
+            os.environ.get("STYLER_TPU_INT8_VOCODER", "0") == "1"
+        )
 
     def _will_fuse(self, mel_frames: int) -> bool:
         """Trace-time: will _vocode take the fused Pallas path?"""
@@ -127,6 +133,7 @@ class Synthesizer:
                 mel,
                 self.generator.config,
                 compute_dtype=self.generator.compute_dtype,
+                quantize=self._int8_vocoder,
             )
         return self.generator.apply(self.vocoder_variables, mel)
 

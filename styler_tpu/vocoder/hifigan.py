@@ -205,6 +205,7 @@ def generator_apply_fused(
     config: HiFiGANConfig = HiFiGANConfig(),
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    quantize: bool = False,
 ) -> jnp.ndarray:
     """Production inference fast path: Generator.__call__ with each
     stage's 3-ResBlock set fused into one Pallas kernel
@@ -212,6 +213,10 @@ def generator_apply_fused(
     write per stage instead of ~40). Numerically equivalent to
     ``Generator(config, compute_dtype).apply(variables, mel)`` on the
     same variables; pinned by tests/test_pallas_resblock.py.
+
+    quantize=True additionally runs the resblock matmuls on the int8
+    MXU path (approximate — see fused_resblock_stage); the upsample
+    transposes and pre/post convs stay in compute_dtype.
     """
     from styler_tpu.ops.pallas_resblock import (
         branch_params_from_variables,
@@ -254,6 +259,7 @@ def generator_apply_fused(
             kernel_sizes=tuple(cfg.resblock_kernel_sizes),
             dilations=tuple(cfg.resblock_dilation_sizes[0]),
             interpret=interpret,
+            quantize=quantize,
         )
     x = nn.leaky_relu(x)
     x = conv("conv_post", x)

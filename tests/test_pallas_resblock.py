@@ -115,6 +115,55 @@ def test_generator_fused_full_parity(rng):
     np.testing.assert_allclose(got, golden, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_stage_quantized_close(rng):
+    """int8-MXU path (quantize=True) tracks the exact stage within
+    quantization-noise bounds: high SNR, zero outside-sequence leakage,
+    same shapes. Tolerances are loose by construction (6 chained int8
+    convs per branch); the hardware-measured SNR lives in
+    tools/int8_vocoder_experiment.py."""
+    kernel_sizes, dilations, C, T = (3, 5), (1, 2), 8, 64
+    params = _make_params(rng, kernel_sizes, dilations, C)
+    x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
+    bp = branch_params_from_variables(params, 0, len(kernel_sizes))
+
+    exact = np.asarray(
+        fused_resblock_stage(
+            x, bp, kernel_sizes=kernel_sizes, dilations=dilations,
+            interpret=True,
+        )
+    )
+    quant = np.asarray(
+        fused_resblock_stage(
+            x, bp, kernel_sizes=kernel_sizes, dilations=dilations,
+            interpret=True, quantize=True,
+        )
+    )
+    assert quant.shape == exact.shape
+    err = quant - exact
+    snr_db = 10 * np.log10((exact**2).sum() / max((err**2).sum(), 1e-30))
+    assert snr_db > 30.0, f"int8 stage SNR too low: {snr_db:.1f} dB"
+
+
+def test_generator_fused_quantized_close(rng):
+    """Full generator through the int8 path stays close to the exact
+    fused output (end-to-end accumulation across 4 stages)."""
+    cfg = HiFiGANConfig()
+    gen = Generator(cfg, compute_dtype=jnp.float32)
+    mel = jnp.asarray(rng.standard_normal((1, 8, 80)).astype(np.float32))
+    v = jax.jit(gen.init)(jax.random.PRNGKey(0), mel)
+    exact = np.asarray(
+        generator_apply_fused(v, mel, cfg, compute_dtype=jnp.float32, interpret=True)
+    )
+    quant = np.asarray(
+        generator_apply_fused(
+            v, mel, cfg, compute_dtype=jnp.float32, interpret=True, quantize=True
+        )
+    )
+    err = quant - exact
+    snr_db = 10 * np.log10((exact**2).sum() / max((err**2).sum(), 1e-30))
+    assert snr_db > 25.0, f"int8 generator SNR too low: {snr_db:.1f} dB"
+
+
 def test_generator_fused_custom_branch_count(rng):
     """generator_apply_fused must honor a non-default number of resblock
     kernels (regression: it used to hard-code n_branches=3 and KeyError
