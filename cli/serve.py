@@ -19,6 +19,15 @@ stdout (stderr carries logs):
       "mel_len": N, "ms": 12.3}
   -> {"id":..., "ok": false, "error": "..."}
 
+Batched requests run N sentences through ONE jitted forward
+(`synthesize_batch`; the batch is padded to the next power of two so
+distinct request sizes reuse a handful of compiled programs):
+
+  {"sentences": ["...", "..."], "ref": "p225_001",  # or per-sentence
+   "refs": ["p225_001", "p226_002"], ...}           # "refs" list
+  -> {"id":..., "ok": true, "wavs": [...], "wavs_noisy": [...],
+      "mel_lens": [...], "ms": ...}
+
 A line of the form {"cmd": "ping"} replies {"ok": true, "pong": true};
 {"cmd": "shutdown"} exits after replying. EOF on stdin also exits.
 
@@ -150,6 +159,51 @@ def main() -> None:
             return
         try:
             t0 = time.perf_counter()
+            if "sentences" in req:
+                sents = list(req["sentences"])
+                names = req.get("refs") or [req["ref"]] * len(sents)
+                if len(names) != len(sents):
+                    raise ValueError(
+                        f"refs ({len(names)}) must match sentences ({len(sents)})"
+                    )
+                pairs = [
+                    get_ref(
+                        nm, req.get("speaker_id"), req.get("noisy_input", False)
+                    )
+                    for nm in names
+                ]
+                # pad to the next power of two: bounded set of compiled
+                # batch sizes across request shapes
+                pad = (1 << max(len(sents) - 1, 0).bit_length()) - len(sents)
+                results = synth.synthesize_batch(
+                    sents + [sents[-1]] * pad,
+                    [p[0] for p in pairs] + [pairs[-1][0]] * pad,
+                    [p[1] for p in pairs] + [pairs[-1][1]] * pad,
+                    d_control=float(req.get("d_control", 1.0)),
+                    p_control=float(req.get("p_control", 1.0)),
+                    e_control=float(req.get("e_control", 1.0)),
+                )[: len(sents)]
+                wavs, wavs_noisy, mel_lens = [], [], []
+                for r in results:
+                    base = os.path.join(args.outdir, f"{n:06d}.wav")
+                    noisy_path = base[:-4] + "_noisy.wav"
+                    audiowrite(r["wav"], cfg.sampling_rate, base)
+                    audiowrite(r["wav_noisy"], cfg.sampling_rate, noisy_path)
+                    n += 1
+                    wavs.append(base)
+                    wavs_noisy.append(noisy_path)
+                    mel_lens.append(int(r["mel_len"]))
+                reply(
+                    {
+                        "id": rid,
+                        "ok": True,
+                        "wavs": wavs,
+                        "wavs_noisy": wavs_noisy,
+                        "mel_lens": mel_lens,
+                        "ms": round((time.perf_counter() - t0) * 1e3, 2),
+                    }
+                )
+                continue
             ref, spk = get_ref(
                 req["ref"], req.get("speaker_id"), req.get("noisy_input", False)
             )

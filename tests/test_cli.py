@@ -160,6 +160,9 @@ def test_serve_cli(tmp_path, monkeypatch):
             # truncated (regression: "x.flac" used to become "x._noisy.wav")
             {"id": 3, "sentence": "Hi.", "ref": "p001_001",
              "out": str(outdir / "custom.flac")},
+            # batched: N sentences through ONE jitted synthesize_batch
+            {"id": 5, "sentences": ["One two.", "Three."],
+             "ref": "p001_001"},
             {"id": 4, "cmd": "shutdown"},
         ]
         proc.stdin.write("".join(json.dumps(r) + "\n" for r in reqs))
@@ -185,6 +188,11 @@ def test_serve_cli(tmp_path, monkeypatch):
     assert sr == 22050 and len(data) == by_id[1]["mel_len"] * 256 > 0
     assert os.path.exists(by_id[1]["wav_noisy"])
     assert not by_id[2]["ok"] and "error" in by_id[2]
+    assert by_id[5]["ok"], by_id[5]
+    assert len(by_id[5]["wavs"]) == 2 == len(by_id[5]["mel_lens"])
+    for w, ml in zip(by_id[5]["wavs"], by_id[5]["mel_lens"]):
+        sr, data = wavfile.read(w)
+        assert sr == 22050 and len(data) == ml * 256 > 0
 
 
 def test_enable_persistent_cache(tmp_path, monkeypatch):
