@@ -34,6 +34,8 @@ A line of the form {"cmd": "ping"} replies {"ok": true, "pong": true};
 Usage:
   python cli/serve.py --ckpt ckpt/VCTK/v1/100000 \
       --ref_audio_dir refs/ --ref_tg_dir refs/ [--bf16] [--outdir wavs/]
+  python cli/serve.py --bundle bundle/ ...   # serve from an AOT export
+      (cli/export.py artifact; no model-building code on the hot path)
 """
 
 from __future__ import annotations
@@ -50,6 +52,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument(
+        "--bundle", type=str, default=None,
+        help="serve from an AOT bundle (cli/export.py output) instead of "
+        "building the model; export with the same src/mel buckets",
+    )
     parser.add_argument("--vocoder_ckpt", type=str, default=None)
     parser.add_argument("--ref_audio_dir", type=str, default=None)
     parser.add_argument("--ref_tg_dir", type=str, default=None)
@@ -99,7 +106,12 @@ def main() -> None:
     if args.vocoder:
         cfg = cfg.replace(vocoder=args.vocoder)
 
-    synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt)
+    if args.bundle:
+        from styler_tpu.core.export import BundleSynthesizer
+
+        synth = BundleSynthesizer(args.bundle, cfg)
+    else:
+        synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt)
     os.makedirs(args.outdir, exist_ok=True)
 
     if args.warmup:

@@ -316,3 +316,67 @@ class ServingBundle:
             "energy": np.asarray(out["energy"])[0, :ml],
             "mel_len": ml,
         }
+
+
+class BundleSynthesizer:
+    """Serving adapter with the `Synthesizer.synthesize` surface (text +
+    ReferenceFeatures + speaker embed -> result dict) over an exported
+    bundle, so `cli/serve.py --bundle dir/` serves from the AOT artifact
+    instead of building the model. Text/G2P and the mel front end still
+    come from the library (host-side, no jitted model code); the device
+    program is the deserialized export.
+
+    Bucket note: requests land in the bundle's exported buckets — export
+    with the same `--src_buckets/--mel_buckets` you plan to serve."""
+
+    def __init__(self, bundle_dir: str, config):
+        from styler_tpu.dsp.mel import MelFrontend
+        from styler_tpu.textproc import G2p, text_to_sequence, to_phoneme_string
+
+        self.bundle = ServingBundle(bundle_dir)
+        self.config = config
+        self.frontend = MelFrontend(config)
+        self._g2p = G2p()
+        self._to_phoneme_string = to_phoneme_string
+        self._text_to_sequence = text_to_sequence
+
+    def text_to_ids(self, sentence: str) -> np.ndarray:
+        return np.asarray(
+            self._text_to_sequence(
+                self._to_phoneme_string(sentence, self._g2p),
+                list(self.config.text_cleaners),
+            ),
+            dtype=np.int32,
+        )
+
+    def synthesize(
+        self,
+        sentence: str,
+        ref,
+        speaker_embed: np.ndarray,
+        d_control: float = 1.0,
+        p_control: float = 1.0,
+        e_control: float = 1.0,
+    ) -> Dict:
+        ids = self.text_to_ids(sentence)
+        return self.bundle.synthesize(
+            ids,
+            ref.mel[: ref.mel_len],
+            ref.f0_norm[: ref.mel_len],
+            ref.energy01[: ref.mel_len],
+            speaker_embed,
+            d_control=d_control,
+            p_control=p_control,
+            e_control=e_control,
+        )
+
+    def synthesize_batch(
+        self, sentences, refs, speaker_embeds, mesh=None,
+        d_control: float = 1.0, p_control: float = 1.0, e_control: float = 1.0,
+    ):
+        """Sequential fallback (the bundle holds batch-1 programs unless
+        exported with --batch N; live Synthesizer batches in one dispatch)."""
+        return [
+            self.synthesize(s, r, e, d_control, p_control, e_control)
+            for s, r, e in zip(sentences, refs, speaker_embeds)
+        ]

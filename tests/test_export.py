@@ -63,6 +63,25 @@ def test_bundle_matches_live_synthesizer(synth, bundle_dir):
     assert np.isfinite(out["wav_noisy"]).all()
 
 
+def test_bundle_synthesizer_adapter(synth, bundle_dir):
+    """BundleSynthesizer (the `serve --bundle` backend) matches the live
+    Synthesizer through the same text front end."""
+    from styler_tpu.core.export import BundleSynthesizer
+
+    bs = BundleSynthesizer(bundle_dir, cfg)
+    rng = np.random.default_rng(2)
+    wav = (rng.standard_normal(cfg.hop_length * 60) * 0.1).astype(np.float32)
+    ref = extract_reference_features(wav, cfg, bs.frontend)
+    spk = np.zeros(cfg.speaker_embed_dim, np.float32)
+    spk[0] = 1.0
+    live = synth.synthesize("Bundle serving.", ref, spk)
+    out = bs.synthesize("Bundle serving.", ref, spk)
+    assert out["mel_len"] == live["mel_len"]
+    np.testing.assert_allclose(out["mel"], live["mel"], atol=2e-4)
+    batch = bs.synthesize_batch(["One.", "Two."], [ref, ref], [spk, spk])
+    assert len(batch) == 2 and all(np.isfinite(b["wav"]).all() for b in batch)
+
+
 def test_bundle_controls_change_output(synth, bundle_dir):
     rng = np.random.default_rng(1)
     wav = (rng.standard_normal(cfg.hop_length * 60) * 0.1).astype(np.float32)
