@@ -10,6 +10,8 @@ Default (no args) runs ALL configs, ONE JSON line each:
   mix         style mix-and-match: the REAL Synthesizer.mix_and_match
   train       full jitted optimizer step throughput
   preprocess  host+device preprocessing throughput (STFT/mel/energy + f0)
+  vocoder     alternative vocoder paths: iSTFTNet head + int8-MXU
+              HiFi-GAN resblocks (mel-MAE cost quoted)
 
 RTF = seconds of audio synthesized per wall-clock second; the driver
 target is >50x real time per chip (BASELINE.md). vs_baseline = RTF / 50.
@@ -348,6 +350,135 @@ def bench_noisy(cfg, B=1, L=128, M=1024):
     )
 
 
+def bench_vocoder(cfg):
+    """Alternative-vocoder single-sentence RTFs (VERDICT r2 next #5) as
+    driver-visible lines, measured through the SAME full e2e program
+    shape as `single` (B=1, clean+noisy decode + vocode):
+
+      istft_single_rtf        — the iSTFTNet fast head (fused Pallas on
+        TPU). Architecture quality needs a trained checkpoint
+        (TODO.md #2); this records its speed claim on-chip.
+      int8_vocoder_single_rtf — HiFi-GAN fused resblocks on the int8
+        MXU path (STYLER_TPU_INT8_VOCODER=1 in production), with its
+        accuracy cost quoted in detail: mel-domain MAE of the re-analyzed
+        int8 waveform vs the bf16 fused reference on the same weights
+        (tools/int8_vocoder_experiment.py is the standalone harness).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from styler_tpu.dsp import MelFrontend
+    from styler_tpu.models import STYLER
+    from styler_tpu.vocoder import make_generator
+    from styler_tpu.vocoder.hifigan import (
+        generator_apply_fused,
+        generator_fused_supported,
+    )
+    from styler_tpu.vocoder.istft_net import istft_apply_fused
+
+    B, L, M = 1, (16 if _SMOKE else 128), (128 if _SMOKE else 1024)
+    batch = _example_batch(cfg, B, L, M)
+    model = STYLER(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
+    on_tpu = jax.default_backend() == "tpu"
+    audio_sec = B * M * cfg.hop_length / cfg.sampling_rate
+
+    def run_variant(vocode, fused):
+        @jax.jit
+        def synth(model_vars, voc_vars, batch, carry):
+            batch = dict(batch, mel_target=batch["mel_target"] + carry)
+            out = model.apply(model_vars, **batch, max_mel_len=M)
+            if fused:
+                wavs = vocode(
+                    voc_vars,
+                    jnp.concatenate(
+                        [out.mel_postnet, out.mel_postnet_noisy], axis=0
+                    ),
+                )
+                return jnp.sum(wavs)
+            return jnp.sum(vocode(voc_vars, out.mel_postnet)) + jnp.sum(
+                vocode(voc_vars, out.mel_postnet_noisy)
+            )
+
+        return synth
+
+    # --- iSTFTNet head -------------------------------------------------
+    igen = make_generator("iSTFTNet")
+    igen_vars = jax.jit(igen.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.n_mel_channels))
+    )
+    i_fused = on_tpu and generator_fused_supported(M, igen.config)
+    vocode_i = (
+        (lambda v, m: istft_apply_fused(
+            v, m, igen.config, compute_dtype=igen.compute_dtype))
+        if i_fused
+        else igen.apply
+    )
+    synth_i = run_variant(vocode_i, i_fused)
+    dt = _time(lambda c: synth_i(variables, igen_vars, batch, c))
+    _emit(
+        "istft_single_rtf",
+        audio_sec / dt,
+        {
+            "batch": B,
+            "step_ms": round(dt * 1e3, 2),
+            "fused": i_fused,
+            "note": "random-init weights; speed line only — train the "
+            "head (cli/train_vocoder.py --arch istft) for quality",
+        },
+    )
+
+    # --- int8 MXU HiFi-GAN resblocks ------------------------------------
+    hgen = make_generator("HiFi-GAN")
+    hgen_vars = jax.jit(hgen.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.n_mel_channels))
+    )
+    q_fused = on_tpu and generator_fused_supported(M, hgen.config)
+    vocode_q = (
+        (lambda v, m: generator_apply_fused(
+            v, m, hgen.config, compute_dtype=hgen.compute_dtype,
+            quantize=True))
+        if q_fused
+        else hgen.apply  # no int8 path off-TPU; line still emitted
+    )
+    synth_q = run_variant(vocode_q, q_fused)
+    dt = _time(lambda c: synth_q(variables, hgen_vars, batch, c))
+
+    # quality cost: mel-domain MAE of int8 vs bf16-fused on the same
+    # weights and mel (re-analysis through the production MelFrontend)
+    mel_mae = 0.0
+    if q_fused:
+        fe = MelFrontend(cfg)
+        mel_in = jnp.asarray(
+            np.random.default_rng(7).standard_normal(
+                (1, M, cfg.n_mel_channels)
+            ).astype(np.float32)
+        )
+        wav_ref = np.asarray(
+            generator_apply_fused(
+                hgen_vars, mel_in, hgen.config,
+                compute_dtype=hgen.compute_dtype,
+            )
+        )[0]
+        wav_q = np.asarray(vocode_q(hgen_vars, mel_in))[0]
+        m_ref, _ = fe(wav_ref)
+        m_q, _ = fe(wav_q)
+        mel_mae = float(np.mean(np.abs(np.asarray(m_ref) - np.asarray(m_q))))
+    _emit(
+        "int8_vocoder_single_rtf",
+        audio_sec / dt,
+        {
+            "batch": B,
+            "step_ms": round(dt * 1e3, 2),
+            "quantized": q_fused,
+            "mel_mae_vs_bf16": round(mel_mae, 5),
+            "note": "opt-in via STYLER_TPU_INT8_VOCODER=1; random-init "
+            "weight distributions — re-measure MAE on a trained "
+            "generator before enabling by default",
+        },
+    )
+
+
 def bench_train(cfg):
     """Training throughput: full jitted optimizer step (teacher-forced
     forward + DAT second pass + backward + Noam Adam) at the reference
@@ -485,7 +616,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--config",
-        choices=["all", "single", "batched", "noisy", "mix", "preprocess", "train"],
+        choices=["all", "single", "batched", "noisy", "mix", "preprocess",
+                 "train", "vocoder"],
         default="all",
         help="'all' (default) runs every BASELINE.md config, one JSON "
         "line each, so the driver-captured history tracks the full matrix",
@@ -530,6 +662,7 @@ def main():
         "mix": lambda: bench_mix(cfg),
         "train": lambda: bench_train(cfg),
         "preprocess": lambda: bench_preprocess(cfg),
+        "vocoder": lambda: bench_vocoder(cfg),
     }
     for name in runners if args.config == "all" else [args.config]:
         runners[name]()

@@ -30,7 +30,12 @@ def main() -> None:
     parser.add_argument("--version", type=str, default="")
     parser.add_argument("--vocoder", type=str, default=None,
                         choices=["HiFi-GAN", "MelGAN", "WaveGlow", "iSTFTNet"])
-    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument(
+        "--batch", type=int, nargs="+", default=[1],
+        help="batch sizes to export (e.g. --batch 1 8: interactive "
+        "requests use the 1-programs, batched serve requests keep "
+        "single-dispatch batching through the 8-programs)",
+    )
     parser.add_argument("--src_buckets", type=int, nargs="+", default=None)
     parser.add_argument("--mel_buckets", type=int, nargs="+", default=None)
     parser.add_argument(
@@ -68,7 +73,7 @@ def main() -> None:
         args.out,
         src_buckets=args.src_buckets,
         mel_buckets=args.mel_buckets,
-        batch=args.batch,
+        batch=tuple(args.batch),
         platforms=args.platforms,
         fused=args.fused,
     )

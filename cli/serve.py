@@ -69,11 +69,16 @@ def main() -> None:
     parser.add_argument("--mel_buckets", type=int, nargs="+", default=None)
     parser.add_argument(
         "--warmup", action="store_true",
-        help="compile before serving: run one synthetic request per mel "
-        "bucket so the first real request pays ~19 ms, not a 20-60 s "
-        "compile (mostly a cache load when the persistent XLA compile "
-        "cache is warm). Sentences hitting other src buckets still "
-        "compile on first use.",
+        help="compile before serving: precompile EVERY (src, mel) bucket "
+        "pair (and, with --bundle, every exported program) so no real "
+        "request pays a compile — mostly cache loads when the persistent "
+        "XLA compile cache is warm.",
+    )
+    parser.add_argument(
+        "--warmup_batches", type=int, nargs="+", default=[1],
+        help="batch sizes to warm on the live path (batched requests pad "
+        "to powers of two; e.g. --warmup_batches 1 8). Ignored with "
+        "--bundle (its exported batches are warmed as-is).",
     )
     args = parser.parse_args()
 
@@ -115,23 +120,17 @@ def main() -> None:
     os.makedirs(args.outdir, exist_ok=True)
 
     if args.warmup:
-        import numpy as np
-
-        from styler_tpu.synthesis import ReferenceFeatures
-
+        # Live path: every (batch, src, mel) bucket triple; bundle path:
+        # every exported program (buckets come from the bundle manifest,
+        # which may differ from cfg's).
         t0 = time.perf_counter()
-        spk = np.zeros(cfg.speaker_embed_dim, np.float32)
-        spk[0] = 1.0
-        for mb in cfg.mel_buckets:
-            ref = ReferenceFeatures(
-                mel=np.zeros((mb, cfg.n_mel_channels), np.float32),
-                f0_norm=np.full(mb, 0.5, np.float32),
-                energy01=np.full(mb, 0.5, np.float32),
-                mel_len=mb,
-            )
-            synth.synthesize("This is a warm up sentence.", ref, spk)
+        n_warm = (
+            synth.warmup()
+            if args.bundle
+            else synth.warmup(batches=tuple(args.warmup_batches))
+        )
         print(
-            f"warmup: {len(cfg.mel_buckets)} mel buckets compiled in "
+            f"warmup: {n_warm} programs compiled in "
             f"{time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
             flush=True,
@@ -173,7 +172,14 @@ def main() -> None:
             t0 = time.perf_counter()
             if "sentences" in req:
                 sents = list(req["sentences"])
-                names = req.get("refs") or [req["ref"]] * len(sents)
+                if not sents:
+                    raise ValueError("empty 'sentences' list")
+                # explicit-but-empty "refs" is a length mismatch, not a
+                # silent fallback to "ref"
+                names = (
+                    list(req["refs"]) if "refs" in req
+                    else [req["ref"]] * len(sents)
+                )
                 if len(names) != len(sents):
                     raise ValueError(
                         f"refs ({len(names)}) must match sentences ({len(sents)})"

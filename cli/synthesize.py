@@ -101,6 +101,8 @@ def main():
     )
 
     if args.cont:
+        import shutil
+
         ref1, spk1 = load_ref(args.r1)
         ref2, spk2 = load_ref(args.r2)
         s1 = args.sentence or sentences[0]
@@ -108,10 +110,25 @@ def main():
         t0 = time.perf_counter()
         results = synth.mix_and_match((s1, s2), (ref1, ref2), (spk1, spk2))
         print(f"mix_and_match 2^5 combos in {time.perf_counter()-t0:.2f}s")
+        # Reference file inventory (reference synthesize.py:227-231,
+        # 277-279): a control_r1_X_r2_Y dir holding each reference's own
+        # wav copy + feature-overlay png, then {comb}.png/{comb}.wav per
+        # combination (plus mel npy, a rebuild extra).
+        outdir = os.path.join(outdir, f"control_r1_{args.r1}_r2_{args.r2}")
+        os.makedirs(outdir, exist_ok=True)
+        for name, ref in ((args.r1, ref1), (args.r2, ref2)):
+            src_wav = os.path.join(cfg.ref_audio_dir, name + ".wav")
+            if os.path.exists(src_wav):
+                shutil.copy(src_wav, os.path.join(outdir, name + ".wav"))
+            save_overlay(os.path.join(outdir, name + ".png"),
+                         ref.mel[: ref.mel_len], ref.f0_norm[: ref.mel_len],
+                         ref.energy01[: ref.mel_len], name)
         for comb, r in results.items():
             audiowrite(r["wav"], cfg.sampling_rate,
                        os.path.join(outdir, f"{comb}.wav"))
             np.save(os.path.join(outdir, f"{comb}.npy"), r["mel"])
+            save_overlay(os.path.join(outdir, f"{comb}.png"),
+                         r["mel"], r["f0"], r["energy"], comb)
         return
 
     ref, speaker_embed = load_ref(args.ref_name)
@@ -169,11 +186,24 @@ def main():
         print(f"[{i}] {audio_sec:.2f}s audio in {dt:.3f}s (RTF {audio_sec/dt:.1f}x): {sentence}")
 
         if args.inspection:
+            # Reference inventory (reference synthesize.py:284-289,
+            # 341-344): a "Reference Spectrogram" overlay row (png only)
+            # + per-ablation wav AND overlay png.
             grid = synth.inspect(sentence, ref, speaker_embed)
+            save_overlay(
+                os.path.join(outdir, f"{stem}_inspect_Reference.png"),
+                ref.mel[: ref.mel_len], ref.f0_norm[: ref.mel_len],
+                ref.energy01[: ref.mel_len], "Reference Spectrogram",
+            )
             for title, g in grid.items():
+                istem = f"{stem}_inspect_{title.replace('+', '')}"
                 audiowrite(
                     g["wav"], cfg.sampling_rate,
-                    os.path.join(outdir, f"{stem}_inspect_{title.replace('+','')}.wav"),
+                    os.path.join(outdir, istem + ".wav"),
+                )
+                save_overlay(
+                    os.path.join(outdir, istem + ".png"),
+                    g["mel"], g["f0"], g["energy"], title,
                 )
     print(f"Synthesized {len(todo)} in {time.perf_counter()-start_time:.3f}s")
 

@@ -47,6 +47,12 @@ def make_serving_fn(synth, max_mel_len: int, fused: bool = False):
 
     ``fused=True`` bakes in the Pallas fused-vocoder path — TPU-only
     artifacts; the default XLA conv path is portable to any platform.
+
+    Vocoder-pass policy mirrors the live ``Synthesizer._forward``: the
+    clean+noisy mels go through ONE concatenated 2B vocoder pass only on
+    the fused path (or tiny batches) — the XLA conv path's HBM
+    intermediates scale with batch, and 2B passes at batch 16 would OOM
+    where two B passes do not.
     """
     model = synth.model
     generator = synth.generator
@@ -103,15 +109,22 @@ def make_serving_fn(synth, max_mel_len: int, fused: bool = False):
             e_control=e_control,
         )
         B = out.mel_postnet.shape[0]
-        wavs = vocode(
-            voc_variables,
-            jnp.concatenate([out.mel_postnet, out.mel_postnet_noisy], axis=0),
-        )
+        if fused or B <= 4:
+            wavs = vocode(
+                voc_variables,
+                jnp.concatenate(
+                    [out.mel_postnet, out.mel_postnet_noisy], axis=0
+                ),
+            )
+            wav, wav_noisy = wavs[:B], wavs[B:]
+        else:
+            wav = vocode(voc_variables, out.mel_postnet)
+            wav_noisy = vocode(voc_variables, out.mel_postnet_noisy)
         return {
             "mel_postnet": out.mel_postnet,
             "mel_postnet_noisy": out.mel_postnet_noisy,
-            "wav": wavs[:B],
-            "wav_noisy": wavs[B:],
+            "wav": wav,
+            "wav_noisy": wav_noisy,
             "mel_len": out.mel_len,
             "f0": out.p_prediction,
             "energy": out.e_prediction,
@@ -138,13 +151,19 @@ def export_serving_program(
     batch: int = 1,
     platforms: Optional[Sequence[str]] = None,
     fused: bool = False,
+    max_mel_len: Optional[int] = None,
 ):
     """Trace + lower one (batch, src_bucket, mel_bucket) serving program
-    and return the `jax.export.Exported` (call `.serialize()` for bytes)."""
+    and return the `jax.export.Exported` (call `.serialize()` for bytes).
+
+    ``max_mel_len`` is the decode/output mel cap; defaults to the
+    config's largest bucket. `save_serving_bundle` threads its effective
+    (possibly overridden) bucket list here so the output cap never drops
+    below the exported input bucket."""
     from jax import export as jax_export
 
     cfg = synth.config
-    M_out = cfg.mel_buckets[-1]
+    M_out = max_mel_len or cfg.mel_buckets[-1]
     fn = make_serving_fn(synth, M_out, fused=fused)
     f32, i32 = jnp.float32, jnp.int32
     model_specs, voc_specs = _weight_specs(synth)
@@ -173,48 +192,66 @@ def save_serving_bundle(
     out_dir: str,
     src_buckets: Optional[Sequence[int]] = None,
     mel_buckets: Optional[Sequence[int]] = None,
-    batch: int = 1,
+    batch=1,
     platforms: Optional[Sequence[str]] = None,
     fused: bool = False,
 ) -> Dict:
-    """Export one program per (src_bucket, mel_bucket) pair + the weights
-    blob + manifest into ``out_dir``. Returns the manifest dict."""
+    """Export one program per (batch, src_bucket, mel_bucket) triple +
+    the weights blob + manifest into ``out_dir``. ``batch`` may be an int
+    or a sequence of batch sizes (e.g. ``(1, 8)`` so batched serve
+    requests keep single-dispatch batching). Returns the manifest dict."""
     cfg = synth.config
     src_buckets = tuple(src_buckets or cfg.src_buckets)
     mel_buckets = tuple(mel_buckets or cfg.mel_buckets)
+    batches = (batch,) if isinstance(batch, int) else tuple(batch)
+    # Output mel cap follows the EFFECTIVE bucket list: an override
+    # larger than the config's must not get outputs silently capped
+    # below its own input bucket.
+    mel_out = max(mel_buckets)
     os.makedirs(out_dir, exist_ok=True)
 
-    blob = {}
+    blob, model_keys, voc_keys = {}, [], []
     for i, leaf in enumerate(jax.tree.leaves(synth.variables)):
-        blob[f"m{i:03d}"] = np.asarray(leaf)
+        k = f"m{i:05d}"
+        blob[k] = np.asarray(leaf)
+        model_keys.append(k)
     for i, leaf in enumerate(jax.tree.leaves(synth.vocoder_variables)):
-        blob[f"v{i:03d}"] = np.asarray(leaf)
+        k = f"v{i:05d}"
+        blob[k] = np.asarray(leaf)
+        voc_keys.append(k)
     np.savez(os.path.join(out_dir, "weights.npz"), **blob)
 
     entries = []
-    for L in src_buckets:
-        for M in mel_buckets:
-            exp = export_serving_program(
-                synth, L, M, batch=batch, platforms=platforms, fused=fused
-            )
-            name = _entry_name(batch, L, M)
-            with open(os.path.join(out_dir, name + ".jaxexp"), "wb") as f:
-                f.write(exp.serialize())
-            entries.append(
-                {"name": name, "batch": batch, "src_bucket": L, "mel_bucket": M}
-            )
+    for B in batches:
+        for L in src_buckets:
+            for M in mel_buckets:
+                exp = export_serving_program(
+                    synth, L, M, batch=B, platforms=platforms, fused=fused,
+                    max_mel_len=mel_out,
+                )
+                name = _entry_name(B, L, M)
+                with open(os.path.join(out_dir, name + ".jaxexp"), "wb") as f:
+                    f.write(exp.serialize())
+                entries.append(
+                    {"name": name, "batch": B, "src_bucket": L, "mel_bucket": M}
+                )
 
     manifest = {
         "format": "styler_tpu.serving_bundle.v1",
         "entries": entries,
         "weights": "weights.npz",
+        # Explicit ordered key lists: lexicographic reloads broke at
+        # >=1000 leaves ('m1000' < 'm999'); the manifest is now the
+        # ordering contract, with leaf counts asserted at load.
+        "model_weight_keys": model_keys,
+        "vocoder_weight_keys": voc_keys,
         "platforms": list(platforms) if platforms else None,
         "fused_vocoder": bool(fused),
         "audio": {
             "sampling_rate": cfg.sampling_rate,
             "hop_length": cfg.hop_length,
             "n_mel_channels": cfg.n_mel_channels,
-            "mel_out": cfg.mel_buckets[-1],
+            "mel_out": mel_out,
         },
         "speaker_embed_dim": cfg.speaker_embed_dim,
         "vocoder": cfg.vocoder,
@@ -238,12 +275,21 @@ class ServingBundle:
         with open(os.path.join(bundle_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         npz = np.load(os.path.join(bundle_dir, self.manifest["weights"]))
-        self._model_flat = [
-            npz[k] for k in sorted(k for k in npz.files if k.startswith("m"))
-        ]
-        self._voc_flat = [
-            npz[k] for k in sorted(k for k in npz.files if k.startswith("v"))
-        ]
+        # Ordering contract: the manifest's explicit key lists (v1
+        # bundles written before the lists existed fall back to NUMERIC
+        # sort — lexicographic silently scrambles leaves at >=1000).
+        numeric = lambda pfx: sorted(
+            (k for k in npz.files if k.startswith(pfx)),
+            key=lambda k: int(k[1:]),
+        )
+        model_keys = self.manifest.get("model_weight_keys") or numeric("m")
+        voc_keys = self.manifest.get("vocoder_weight_keys") or numeric("v")
+        assert len(model_keys) + len(voc_keys) == len(npz.files), (
+            f"weights.npz has {len(npz.files)} arrays; manifest lists "
+            f"{len(model_keys)}+{len(voc_keys)}"
+        )
+        self._model_flat = [npz[k] for k in model_keys]
+        self._voc_flat = [npz[k] for k in voc_keys]
         self._exported = {}
         for e in self.manifest["entries"]:
             with open(os.path.join(bundle_dir, e["name"] + ".jaxexp"), "rb") as f:
@@ -251,16 +297,70 @@ class ServingBundle:
                     jax_export.deserialize(bytearray(f.read()))
                 )
 
-    def _bucket(self, idx: int, n: int) -> int:
+    def _bucket(self, idx: int, n: int, clamp: bool = False) -> int:
         opts = sorted({k[idx] for k in self._exported})
         for o in opts:
             if n <= o:
                 return o
+        if clamp:
+            return opts[-1]
         raise ValueError(f"no exported bucket >= {n} (have {opts})")
 
     def call(self, batch, src_bucket, mel_bucket, *arrays):
         exp = self._exported[(batch, src_bucket, mel_bucket)]
         return exp.call(self._model_flat, self._voc_flat, *arrays)
+
+    def _pick_batch(self, n: int) -> int:
+        """Smallest exported batch >= n, else the largest (callers chunk)."""
+        batches = sorted({k[0] for k in self._exported})
+        for b in batches:
+            if n <= b:
+                return b
+        return batches[-1]
+
+    def warmup(self) -> int:
+        """Run every exported program once on zero inputs so no real
+        request pays a first-dispatch cost. Returns the program count."""
+        a = self.manifest["audio"]
+        spk_dim = self.manifest["speaker_embed_dim"]
+        for (B, L, M) in self._exported:
+            out = self.call(
+                B, L, M,
+                np.zeros((B, L), np.int32),
+                np.ones(B, np.int32),
+                np.zeros((B, M, a["n_mel_channels"]), np.float32),
+                np.zeros((B, M), np.float32),
+                np.zeros((B, M), np.float32),
+                np.ones(B, np.int32),
+                np.zeros((B, spk_dim), np.float32),
+                np.float32(1.0), np.float32(1.0), np.float32(1.0),
+            )
+            # force execution with a real host fetch: on the axon
+            # platform dispatch is lazy and block_until_ready does not
+            # block (CLAUDE.md) — without this, the "warmed" program
+            # would still compile on the first real request
+            float(np.asarray(out["mel_len"])[0])
+        return len(self._exported)
+
+    def _clamp_row(self, ids, mel, f0_norm, energy01):
+        import logging
+
+        log = logging.getLogger("styler_tpu.export")
+        L_max = max(k[1] for k in self._exported)
+        M_max = max(k[2] for k in self._exported)
+        if len(ids) > L_max:
+            log.warning(
+                "sentence has %d phonemes > largest exported src bucket "
+                "%d; truncating", len(ids), L_max,
+            )
+            ids = ids[:L_max]
+        if len(f0_norm) > M_max:
+            log.warning(
+                "reference has %d mel frames > largest exported mel "
+                "bucket %d; trimming", len(f0_norm), M_max,
+            )
+            mel, f0_norm, energy01 = mel[:M_max], f0_norm[:M_max], energy01[:M_max]
+        return ids, mel, f0_norm, energy01
 
     def synthesize(
         self,
@@ -274,48 +374,97 @@ class ServingBundle:
         e_control: float = 1.0,
     ) -> Dict:
         """One sentence (phoneme ids) + reference features -> dict of
-        numpy outputs, padding into the nearest exported bucket pair."""
+        numpy outputs, padding into the nearest exported bucket pair.
+        Inputs past the largest exported bucket are truncated with a
+        warning (matching the live Synthesizer's clamp policy)."""
+        return self.synthesize_batch(
+            [ids], [mel], [f0_norm], [energy01],
+            None if speaker_embed is None else [speaker_embed],
+            d_control=d_control, p_control=p_control, e_control=e_control,
+        )[0]
+
+    def synthesize_batch(
+        self,
+        ids_list,
+        mels,
+        f0_norms,
+        energy01s,
+        speaker_embeds=None,
+        d_control: float = 1.0,
+        p_control: float = 1.0,
+        e_control: float = 1.0,
+    ) -> List[Dict]:
+        """N items through the exported batch-B programs: the request is
+        padded up to the smallest exported batch that holds it (one
+        dispatch), or chunked by the largest exported batch when it
+        exceeds every exported size — the AOT counterpart of the live
+        `Synthesizer.synthesize_batch` single-dispatch path."""
+        n = len(ids_list)
+        assert n > 0, "empty batch"
+        rows = [
+            self._clamp_row(ids_list[i], mels[i], f0_norms[i], energy01s[i])
+            for i in range(n)
+        ]
+        results: List[Dict] = []
+        i = 0
+        while i < n:
+            B = self._pick_batch(n - i)
+            take = min(B, n - i)
+            results.extend(
+                self._call_group(
+                    rows[i : i + take],
+                    None if speaker_embeds is None
+                    else speaker_embeds[i : i + take],
+                    B, d_control, p_control, e_control,
+                )
+            )
+            i += take
+        return results
+
+    def _call_group(self, rows, spk_rows, B, d_control, p_control, e_control):
         a = self.manifest["audio"]
-        batches = sorted({k[0] for k in self._exported})
-        B = batches[0]
-        L = self._bucket(1, len(ids))
-        ref_len = len(f0_norm)
-        M = self._bucket(2, ref_len)
+        n = len(rows)
+        L = self._bucket(1, max(len(r[0]) for r in rows))
+        M = self._bucket(2, max(len(r[2]) for r in rows))
         src_seq = np.zeros((B, L), np.int32)
-        src_seq[0, : len(ids)] = ids
+        src_len = np.ones(B, np.int32)
         mel_in = np.zeros((B, M, a["n_mel_channels"]), np.float32)
-        mel_in[0, :ref_len] = mel[:ref_len]
         f0 = np.zeros((B, M), np.float32)
-        f0[0, :ref_len] = f0_norm[:ref_len]
         en = np.zeros((B, M), np.float32)
-        en[0, :ref_len] = energy01[:ref_len]
+        mel_len = np.ones(B, np.int32)
         spk = np.zeros((B, self.manifest["speaker_embed_dim"]), np.float32)
-        if speaker_embed is not None:
-            spk[0] = np.ravel(speaker_embed)
+        for i in range(B):
+            ids, m, f, e = rows[min(i, n - 1)]  # pad rows repeat the last
+            k = len(f)
+            src_seq[i, : len(ids)] = ids
+            src_len[i] = len(ids)
+            mel_in[i, :k] = m[:k]
+            f0[i, :k] = f[:k]
+            en[i, :k] = e[:k]
+            mel_len[i] = k
+            if spk_rows is not None:
+                spk[i] = np.ravel(spk_rows[min(i, n - 1)])
         out = self.call(
             B, L, M,
-            src_seq,
-            np.full(B, len(ids), np.int32),
-            mel_in,
-            f0,
-            en,
-            np.full(B, ref_len, np.int32),
-            spk,
-            np.float32(d_control),
-            np.float32(p_control),
-            np.float32(e_control),
+            src_seq, src_len, mel_in, f0, en, mel_len, spk,
+            np.float32(d_control), np.float32(p_control), np.float32(e_control),
         )
-        ml = int(np.asarray(out["mel_len"])[0])
-        ns = ml * a["hop_length"]
-        return {
-            "mel": np.asarray(out["mel_postnet"])[0, :ml],
-            "mel_noisy": np.asarray(out["mel_postnet_noisy"])[0, :ml],
-            "wav": np.asarray(out["wav"])[0, :ns],
-            "wav_noisy": np.asarray(out["wav_noisy"])[0, :ns],
-            "f0": np.asarray(out["f0"])[0, :ml],
-            "energy": np.asarray(out["energy"])[0, :ml],
-            "mel_len": ml,
-        }
+        results = []
+        for i in range(n):
+            ml = int(np.asarray(out["mel_len"])[i])
+            ns = ml * a["hop_length"]
+            results.append(
+                {
+                    "mel": np.asarray(out["mel_postnet"])[i, :ml],
+                    "mel_noisy": np.asarray(out["mel_postnet_noisy"])[i, :ml],
+                    "wav": np.asarray(out["wav"])[i, :ns],
+                    "wav_noisy": np.asarray(out["wav_noisy"])[i, :ns],
+                    "f0": np.asarray(out["f0"])[i, :ml],
+                    "energy": np.asarray(out["energy"])[i, :ml],
+                    "mel_len": ml,
+                }
+            )
+        return results
 
 
 class BundleSynthesizer:
@@ -373,10 +522,27 @@ class BundleSynthesizer:
     def synthesize_batch(
         self, sentences, refs, speaker_embeds, mesh=None,
         d_control: float = 1.0, p_control: float = 1.0, e_control: float = 1.0,
+        ids_rows=None,
     ):
-        """Sequential fallback (the bundle holds batch-1 programs unless
-        exported with --batch N; live Synthesizer batches in one dispatch)."""
-        return [
-            self.synthesize(s, r, e, d_control, p_control, e_control)
-            for s, r, e in zip(sentences, refs, speaker_embeds)
+        """Batched AOT serving: the request runs through the bundle's
+        exported batch-N programs (padded to the smallest exported batch
+        that holds it; chunked by the largest otherwise) — single
+        dispatch per group, matching the live path's batching. Export
+        with ``--batch 1 8`` to cover both interactive and batched
+        traffic. ``mesh`` is accepted for signature parity and ignored
+        (sharding is baked at export time)."""
+        ids = ids_rows if ids_rows is not None else [
+            self.text_to_ids(s) for s in sentences
         ]
+        return self.bundle.synthesize_batch(
+            ids,
+            [r.mel[: r.mel_len] for r in refs],
+            [r.f0_norm[: r.mel_len] for r in refs],
+            [r.energy01[: r.mel_len] for r in refs],
+            speaker_embeds,
+            d_control=d_control, p_control=p_control, e_control=e_control,
+        )
+
+    def warmup(self) -> int:
+        """Compile-warm every exported program (see ServingBundle.warmup)."""
+        return self.bundle.warmup()

@@ -106,10 +106,38 @@ class SpeakerEmbedder:
 
     def embed_wav(self, audio: np.ndarray, rng=None) -> np.ndarray:
         if self.model is None:
-            # deterministic pseudo-embedding from coarse spectral stats
-            h = np.fft.rfft(audio[: 2**15].astype(np.float64), 2**15)
-            mag = np.abs(h)[:512]
-            v = mag / (np.linalg.norm(mag) + 1e-9)
+            # Deterministic pseudo-embedding: the long-term average log
+            # power spectrum of the energetic frames, integrated into 512
+            # log-spaced bands (50 Hz..Nyquist) — a crude spectral-
+            # envelope (formant) signature. Quantified on synthetic
+            # 3-speaker corpora: 18/18 leave-one-out nearest-centroid
+            # speaker ID, same-speaker cosine min > different-speaker
+            # max (tests/test_data.py::test_speaker_fallback_separates;
+            # bound recorded in PARITY.md). The previous stand-in (rFFT
+            # of the first 1.49 s, bins 0-344 Hz only) scored 8/18.
+            sr = self.config.sampling_rate
+            frame, hop = 1024, 512
+            dim = self.config.speaker_embed_dim
+            x = audio.astype(np.float64)
+            if len(x) < frame:
+                x = np.pad(x, (0, frame - len(x)))
+            nfr = 1 + (len(x) - frame) // hop
+            idx = np.arange(frame)[None] + hop * np.arange(nfr)[:, None]
+            frames = x[idx] * np.hanning(frame)
+            P = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+            en = P.sum(axis=1)
+            P = P[en >= np.quantile(en, 0.4)].mean(axis=0)
+            freqs = np.fft.rfftfreq(frame, 1.0 / sr)
+            edges = np.geomspace(50.0, sr / 2, dim + 1)
+            band = np.searchsorted(edges, freqs) - 1
+            valid = (band >= 0) & (band < dim)
+            v = np.zeros(dim)
+            cnt = np.zeros(dim)
+            np.add.at(v, band[valid], P[valid])
+            np.add.at(cnt, band[valid], 1)
+            v = np.log(v / np.maximum(cnt, 1) + 1e-10)
+            v -= v.mean()
+            v /= np.linalg.norm(v) + 1e-9
             return v.astype(np.float32)[None, :]
         import jax.numpy as jnp
 

@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -36,6 +37,8 @@ from styler_tpu.vocoder.hifigan import (
     generator_apply_fused,
     generator_fused_supported,
 )
+
+_log = logging.getLogger("styler_tpu.synthesis")
 
 
 @dataclasses.dataclass
@@ -63,6 +66,18 @@ def extract_reference_features(
     mel = np.asarray(mel).astype(np.float32)[:, :total].T
     energy = np.asarray(energy).astype(np.float32)[:total]
     n = min(len(f0), mel.shape[0], len(energy))
+    # Long references are trimmed to the largest mel bucket instead of
+    # crashing downstream in the bucketed packers — matching the
+    # reference's own length policy (it drops >=1000-frame mels at
+    # preprocess time, reference data/vctk.py:198-199).
+    cap = config.mel_buckets[-1]
+    if n > cap:
+        _log.warning(
+            "reference audio is %d mel frames; trimming to the largest "
+            "mel bucket (%d frames, %.1f s) for style extraction",
+            n, cap, cap * config.hop_length / config.sampling_rate,
+        )
+        n = cap
     return ReferenceFeatures(
         mel=mel[:n],
         f0_norm=f0_normalization_np(f0[:n]).astype(np.float32),
@@ -145,6 +160,99 @@ class Synthesizer:
             text_to_sequence(phoneme_str, list(self.config.text_cleaners)),
             dtype=np.int32,
         )
+
+    # ------------------------------------------------------------------
+    # Long-input handling: inputs past the largest shape bucket are
+    # clamped (batch paths) or chunked (single-sentence path) instead of
+    # crashing in the bucketed packers. The reference's contract is 1000
+    # phonemes / 1024 frames (transformer/Models.py:69-71, hparams.py:58).
+    # ------------------------------------------------------------------
+
+    def _clamp_ids(self, ids: np.ndarray) -> np.ndarray:
+        cap = self.config.src_buckets[-1]
+        if len(ids) > cap:
+            _log.warning(
+                "sentence has %d phonemes > largest src bucket %d; "
+                "truncating (use Synthesizer.synthesize for automatic "
+                "chunking of long sentences)", len(ids), cap,
+            )
+            return ids[:cap]
+        return ids
+
+    def _clamp_ref(self, ref: ReferenceFeatures) -> ReferenceFeatures:
+        cap = self.config.mel_buckets[-1]
+        if ref.mel_len <= cap:
+            return ref
+        _log.warning(
+            "reference has %d mel frames > largest mel bucket %d; trimming",
+            ref.mel_len, cap,
+        )
+        return ReferenceFeatures(
+            mel=ref.mel[:cap], f0_norm=ref.f0_norm[:cap],
+            energy01=ref.energy01[:cap], mel_len=cap,
+        )
+
+    def _phoneme_chunks(self, sentence: str) -> List[np.ndarray]:
+        """Split a long sentence into per-chunk phoneme-id rows, each
+        fitting the largest src bucket, cutting at `sp` (punctuation /
+        pause) tokens when one is available (ids are 1:1 with phoneme
+        tokens, so the split is exact)."""
+        cap = self.config.src_buckets[-1]
+        phoneme_str = to_phoneme_string(sentence, self.g2p)
+        tokens = phoneme_str[1:-1].split(" ")
+        chunks, start = [], 0
+        while start < len(tokens):
+            end = min(start + cap, len(tokens))
+            if end < len(tokens):
+                # prefer the last pause inside the window (keep it in
+                # this chunk so prosody pauses stay attached)
+                for j in range(end - 1, start, -1):
+                    if tokens[j] == "sp":
+                        end = j + 1
+                        break
+            chunk = "{" + " ".join(tokens[start:end]) + "}"
+            chunks.append(
+                np.asarray(
+                    text_to_sequence(chunk, list(self.config.text_cleaners)),
+                    dtype=np.int32,
+                )
+            )
+            start = end
+        return chunks
+
+    def _synthesize_long(
+        self, sentence, ref, speaker_embed, d_control, p_control, e_control
+    ) -> Dict:
+        """Chunked synthesis for sentences past the largest src bucket:
+        one batched forward over the chunks, outputs concatenated in
+        order. The reference handles up to 1000 phonemes in one forward
+        (transformer/Models.py:69-71); the static-shape equivalent is
+        chunking — each chunk's mel is also bounded by the largest mel
+        bucket, which a single 1000-phoneme forward would overflow."""
+        ids_rows = self._phoneme_chunks(sentence)
+        _log.warning(
+            "sentence exceeds the largest src bucket (%d phonemes); "
+            "synthesizing as %d chunks and concatenating",
+            self.config.src_buckets[-1], len(ids_rows),
+        )
+        parts = self.synthesize_batch(
+            [None] * len(ids_rows),
+            [ref] * len(ids_rows),
+            [speaker_embed] * len(ids_rows),
+            d_control=d_control, p_control=p_control, e_control=e_control,
+            ids_rows=ids_rows,
+        )
+        cat = lambda k: np.concatenate([p[k] for p in parts], axis=0)
+        return {
+            "mel": cat("mel"),
+            "mel_noisy": cat("mel_noisy"),
+            "wav": cat("wav"),
+            "wav_noisy": cat("wav_noisy"),
+            "f0": cat("f0"),
+            "energy": cat("energy"),
+            "mel_len": int(sum(p["mel_len"] for p in parts)),
+            "chunks": len(ids_rows),
+        }
 
     @functools.partial(jax.jit, static_argnames=("self", "max_mel_len"))
     def _encode(
@@ -230,6 +338,42 @@ class Synthesizer:
         wav_noisy = self._vocode(out.mel_postnet_noisy)
         return out, wav_clean, wav_noisy
 
+    def warmup(self, batches=(1,)) -> int:
+        """Precompile the serving forward for EVERY (batch, src bucket,
+        mel bucket) triple so no real request ever pays a compile (the
+        persistent XLA cache makes this mostly cache loads after the
+        first run). Returns the number of programs warmed."""
+        cfg = self.config
+        n = 0
+        for B in batches:
+            for L in cfg.src_buckets:
+                for M in cfg.mel_buckets:
+                    out, wav, _ = self._forward(
+                        jnp.zeros((B, L), jnp.int32),
+                        jnp.ones((B,), jnp.int32),
+                        jnp.zeros((B, M, cfg.n_mel_channels), jnp.float32),
+                        jnp.zeros((B, M), jnp.float32),
+                        jnp.zeros((B, M), jnp.float32),
+                        jnp.ones((B,), jnp.int32),
+                        jnp.zeros((B, cfg.speaker_embed_dim), jnp.float32),
+                        1.0, 1.0, 1.0,
+                        cfg.mel_buckets[-1],
+                    )
+                    # a real host fetch, not block_until_ready: on the
+                    # axon platform block_until_ready returns before the
+                    # computation runs (CLAUDE.md) — without the fetch
+                    # the "warmed" program would compile lazily on the
+                    # first REAL request instead
+                    float(wav[0, 0])
+                    n += 1
+        # the reference front end compiles per wav-length bucket too —
+        # warm the common ones so a fresh reference doesn't pay it
+        for F in (256, 1024):
+            self.frontend(
+                np.zeros((F - 1) * cfg.hop_length, np.float32)
+            )
+        return n
+
     def synthesize(
         self,
         sentence: str,
@@ -239,9 +383,19 @@ class Synthesizer:
         p_control: float = 1.0,
         e_control: float = 1.0,
     ) -> Dict:
-        """One sentence with one reference → mels + waveforms + predictions."""
+        """One sentence with one reference → mels + waveforms + predictions.
+
+        Sentences past the largest src bucket are synthesized in chunks
+        (cut at pauses) and concatenated — the chunked result has no
+        ``encodings``/``src_mask``/``duration`` keys and adds ``chunks``.
+        """
         cfg = self.config
+        ref = self._clamp_ref(ref)
         ids = self.text_to_ids(sentence)
+        if len(ids) > cfg.src_buckets[-1]:
+            return self._synthesize_long(
+                sentence, ref, speaker_embed, d_control, p_control, e_control
+            )
         L = bucket_for(len(ids), cfg.src_buckets)
         M_in = bucket_for(ref.mel_len, cfg.mel_buckets)
         M_out = cfg.mel_buckets[-1]
@@ -292,6 +446,7 @@ class Synthesizer:
         d_control: float = 1.0,
         p_control: float = 1.0,
         e_control: float = 1.0,
+        ids_rows: Optional[list] = None,
     ) -> list:
         """Batched synthesis: N (sentence, reference) pairs in ONE jitted
         forward (+ optional SPMD sharding of the batch axis over a
@@ -300,12 +455,18 @@ class Synthesizer:
 
         Returns a list of per-item dicts like ``synthesize``'s (without
         encodings). The batch is padded up to a multiple of the mesh's
-        data-axis size when a mesh is given.
+        data-axis size when a mesh is given. ``ids_rows`` bypasses
+        text→phoneme conversion with precomputed id rows (the chunked
+        long-sentence path). Over-long rows are truncated with a warning.
         """
         cfg = self.config
         n = len(sentences)
         assert len(refs) == n and len(speaker_embeds) == n
-        ids = [self.text_to_ids(s) for s in sentences]
+        ids = ids_rows if ids_rows is not None else [
+            self.text_to_ids(s) for s in sentences
+        ]
+        ids = [self._clamp_ids(i) for i in ids]
+        refs = [self._clamp_ref(r) for r in refs]
         L = bucket_for(max(len(i) for i in ids), cfg.src_buckets)
         M_in = bucket_for(max(r.mel_len for r in refs), cfg.mel_buckets)
         M_out = cfg.mel_buckets[-1]
@@ -452,6 +613,8 @@ class Synthesizer:
         rows into the bucketed [B, L]/[B, M_in] device arrays the
         encode/forward programs take."""
         cfg = self.config
+        ids_rows = [self._clamp_ids(i) for i in ids_rows]
+        ref_rows = [self._clamp_ref(r) for r in ref_rows]
         B = len(ids_rows)
         L = bucket_for(max(len(i) for i in ids_rows), cfg.src_buckets)
         M_in = bucket_for(max(r.mel_len for r in ref_rows), cfg.mel_buckets)

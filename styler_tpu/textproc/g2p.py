@@ -111,6 +111,71 @@ def _ed_allomorph(phones: List[str]) -> List[str]:
     return ["D"]
 
 
+# ---------------------------------------------------------------------
+# Heteronyms. The reference's g2p_en disambiguates with a perceptron POS
+# tagger (reference synthesize.py:9,44-58); offline, the top cases are
+# covered with deterministic neighbor-word cues: a noun/verb
+# stress-pair table keyed on determiner vs. infinitive/modal context,
+# plus per-word vowel-quality rules (read/wind/live/...). Unknown
+# context falls back to the more frequent reading.
+# ---------------------------------------------------------------------
+
+_DETERMINERS = {
+    "the", "a", "an", "this", "that", "these", "those", "my", "your",
+    "his", "her", "its", "our", "their", "some", "any", "no", "each",
+    "every", "of", "one", "another", "whose",
+}
+_VERB_CUES = {
+    "to", "will", "would", "can", "could", "may", "might", "shall",
+    "should", "must", "do", "does", "did", "don't", "doesn't", "didn't",
+    "won't", "cannot", "can't", "i", "we", "you", "they", "please",
+    "and", "not", "never", "always", "usually", "often",
+}
+_PERFECT_CUES = {
+    "have", "has", "had", "having", "been", "was", "were", "be", "being",
+    "is", "are", "already", "just", "once", "i've", "we've", "you've",
+    "they've", "he's", "she's",
+}
+
+# noun-vs-verb stress pairs: word -> (noun phones, verb phones).
+# Noun reading after a determiner/possessive; verb reading after an
+# infinitive/modal/pronoun cue; default noun (the more frequent reading
+# for this family in running text).
+_STRESS_PAIRS = {
+    "record": ("R EH1 K ER0 D", "R IH0 K AO1 R D"),
+    "records": ("R EH1 K ER0 D Z", "R IH0 K AO1 R D Z"),
+    "present": ("P R EH1 Z AH0 N T", "P R IH0 Z EH1 N T"),
+    "presents": ("P R EH1 Z AH0 N T S", "P R IH0 Z EH1 N T S"),
+    "object": ("AA1 B JH EH0 K T", "AH0 B JH EH1 K T"),
+    "objects": ("AA1 B JH EH0 K T S", "AH0 B JH EH1 K T S"),
+    "project": ("P R AA1 JH EH0 K T", "P R AH0 JH EH1 K T"),
+    "projects": ("P R AA1 JH EH0 K T S", "P R AH0 JH EH1 K T S"),
+    "subject": ("S AH1 B JH IH0 K T", "S AH0 B JH EH1 K T"),
+    "subjects": ("S AH1 B JH IH0 K T S", "S AH0 B JH EH1 K T S"),
+    "permit": ("P ER1 M IH0 T", "P ER0 M IH1 T"),
+    "permits": ("P ER1 M IH0 T S", "P ER0 M IH1 T S"),
+    "produce": ("P R OW1 D UW0 S", "P R AH0 D UW1 S"),
+    "contract": ("K AA1 N T R AE2 K T", "K AH0 N T R AE1 K T"),
+    "contracts": ("K AA1 N T R AE2 K T S", "K AH0 N T R AE1 K T S"),
+    "conduct": ("K AA1 N D AH0 K T", "K AH0 N D AH1 K T"),
+    "contest": ("K AA1 N T EH0 S T", "K AH0 N T EH1 S T"),
+    "refuse": ("R EH1 F Y UW2 S", "R IH0 F Y UW1 Z"),
+    "desert": ("D EH1 Z ER0 T", "D IH0 Z ER1 T"),
+    "content": ("K AA1 N T EH0 N T", "K AH0 N T EH1 N T"),
+    "rebel": ("R EH1 B AH0 L", "R IH0 B EH1 L"),
+    "insult": ("IH1 N S AH0 L T", "IH0 N S AH1 L T"),
+    "increase": ("IH1 N K R IY2 S", "IH0 N K R IY1 S"),
+    "decrease": ("D IH1 K R IY2 S", "D IH0 K R IY1 S"),
+    "address": ("AE1 D R EH2 S", "AH0 D R EH1 S"),
+    "protest": ("P R OW1 T EH2 S T", "P R AH0 T EH1 S T"),
+    "suspect": ("S AH1 S P EH2 K T", "S AH0 S P EH1 K T"),
+    "conflict": ("K AA1 N F L IH0 K T", "K AH0 N F L IH1 K T"),
+    "convert": ("K AA1 N V ER0 T", "K AH0 N V ER1 T"),
+    "export": ("EH1 K S P AO0 R T", "IH0 K S P AO1 R T"),
+    "import": ("IH1 M P AO2 R T", "IH0 M P AO1 R T"),
+}
+
+
 # derivational suffixes resolved via lexicon stems: suffix -> phones
 _SUFFIX_PHONES = {
     "ing": ["IH0", "NG"],
@@ -218,6 +283,18 @@ class G2p:
                     base = self._stem_rules(stem)
                 if base is not None:
                     return base + phones
+
+        # French-origin endings regular enough to be rules: -ique is a
+        # stressed IY1 K (boutique, critique, oblique); a final -gue is
+        # a bare G (colleague, plague, dialogue)
+        if len(word) > 5 and word.endswith("ique"):
+            base = [
+                p[:-1] + "0" if p[-1:] in "12" else p
+                for p in self._rules(word[:-4])
+            ]
+            return base + ["IY1", "K"]
+        if len(word) > 4 and word.endswith("gue"):
+            return self._rules(word[:-3]) + ["G"]
 
         return self._rules(word)
 
@@ -327,18 +404,94 @@ class G2p:
                     break
         return out
 
+    # -- heteronyms ------------------------------------------------------
+
+    def _heteronym(
+        self, word: str, prev: Optional[str], nxt: Optional[str]
+    ) -> Optional[str]:
+        """Context-disambiguated phones for the top heteronym cases, or
+        None when ``word`` is not a handled heteronym. ``prev``/``nxt``
+        are the neighboring words (lowercased, punctuation skipped)."""
+        if word in _STRESS_PAIRS:
+            noun, verb = _STRESS_PAIRS[word]
+            if prev in _VERB_CUES:
+                return verb
+            return noun  # determiner context and the default
+        if word == "read":
+            return "R EH1 D" if prev in _PERFECT_CUES else "R IY1 D"
+        if word == "lead":
+            if nxt in ("pipe", "pipes", "paint", "poisoning", "pencil"):
+                return "L EH1 D"
+            return "L IY1 D"
+        if word == "live":
+            if nxt in (
+                "music", "show", "shows", "broadcast", "stream", "audience",
+                "performance", "concert", "wire", "coverage",
+            ) or prev in ("a", "went", "goes", "going", "watch", "watched"):
+                return "L AY1 V"
+            return "L IH1 V"
+        if word == "lives":
+            # noun plural of life after determiners/possessives
+            return "L AY1 V Z" if prev in _DETERMINERS else "L IH1 V Z"
+        if word == "wind":
+            return "W AY1 N D" if nxt in ("up", "down") else "W IH1 N D"
+        if word == "wound":
+            return "W AW1 N D" if prev in _PERFECT_CUES else "W UW1 N D"
+        if word == "tear":
+            if prev in _DETERMINERS and nxt not in ("in", "apart", "down"):
+                return "T IH1 R"
+            return "T EH1 R"
+        if word == "tears":
+            return "T EH1 R Z" if prev in _VERB_CUES else "T IH1 R Z"
+        if word == "bow":
+            if prev in _VERB_CUES or nxt == "down":
+                return "B AW1"
+            return "B OW1"
+        if word == "bass":
+            if nxt in ("fishing", "fish", "lake") or prev in ("largemouth", "striped", "sea"):
+                return "B AE1 S"
+            return "B EY1 S"
+        if word == "close":
+            if nxt in ("to", "by", "enough", "friend", "friends", "call", "range") or prev in ("so", "too", "very", "how", "really"):
+                return "K L OW1 S"
+            return "K L OW1 Z"
+        if word == "use":
+            return "Y UW1 S" if prev in _DETERMINERS else "Y UW1 Z"
+        if word == "used":
+            return "Y UW1 S T" if nxt == "to" else "Y UW1 Z D"
+        if word == "excuse":
+            return "IH0 K S K Y UW1 S" if prev in _DETERMINERS else "IH0 K S K Y UW1 Z"
+        if word == "separate":
+            # verb with full -ate after an infinitive/modal cue
+            return "S EH1 P ER0 EY2 T" if prev in _VERB_CUES else "S EH1 P R AH0 T"
+        return None
+
     def __call__(self, text: str) -> List[str]:
+        matches = [m.group(0) for m in _word_re.finditer(text)]
+        is_word = [t[0].isalpha() or t[0] == "'" for t in matches]
+        words = [t.lower() if w else None for t, w in zip(matches, is_word)]
+
+        def neighbor(idx: int, step: int) -> Optional[str]:
+            j = idx + step
+            while 0 <= j < len(words):
+                if words[j] is not None:
+                    return words[j]
+                j += step
+            return None
+
         tokens: List[str] = []
-        first = True
-        for m in _word_re.finditer(text):
-            tok = m.group(0)
-            if not first:
+        for idx, tok in enumerate(matches):
+            if idx:
                 tokens.append(" ")
-            first = False
-            if tok[0].isalpha() or tok[0] == "'":
-                tokens.extend(self._pronounce(tok.lower()))
-            else:
+            if not is_word[idx]:
                 tokens.append(tok)
+                continue
+            word = words[idx]
+            het = self._heteronym(word, neighbor(idx, -1), neighbor(idx, +1))
+            if het is not None:
+                tokens.extend(het.split())
+            else:
+                tokens.extend(self._pronounce(word))
         return tokens
 
 

@@ -15,6 +15,8 @@ EXPECTED_METRICS = {
     "mix_and_match_32combo_rtf",
     "train_mel_frames_per_sec",
     "preprocess_throughput_rtf",
+    "istft_single_rtf",
+    "int8_vocoder_single_rtf",
 }
 
 

@@ -112,6 +112,54 @@ def test_synthesize_cli(tmp_path, monkeypatch):
     assert any("noisy" in f for f in pngs) and any("noisy" not in f for f in pngs)
 
 
+def test_synthesize_cli_grids(tmp_path, monkeypatch):
+    """--cont and --inspection write the reference's full artifact
+    inventory: per-combo overlay pngs + wavs, plus the references' own
+    wav copies and feature rows (reference synthesize.py:227-231,
+    277-279, 284-289, 341-344)."""
+    ref_dir = tmp_path / "refs"
+    ref_dir.mkdir()
+    t = np.arange(int(22050 * 0.6)) / 22050
+    for name, f in (("p001_001", 170), ("p002_001", 120)):
+        wav = (0.4 * np.sin(2 * np.pi * f * t) * 32767).astype(np.int16)
+        wavfile.write(str(ref_dir / f"{name}.wav"), 22050, wav)
+    outdir = tmp_path / "out"
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo")
+    from cli.synthesize import main
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["synthesize.py", "--cont", "--r1", "p001_001", "--r2", "p002_001",
+         "--ref_audio_dir", str(ref_dir), "--ref_tg_dir", str(ref_dir),
+         "--sentence", "Hi.", "--outdir", str(outdir),
+         "--src_buckets", "32", "--mel_buckets", "64"],
+    )
+    main()
+    cont_dir = outdir / "control_r1_p001_001_r2_p002_001"
+    files = set(os.listdir(cont_dir))
+    for name in ("p001_001", "p002_001"):  # reference rows
+        assert f"{name}.wav" in files and f"{name}.png" in files
+    for comb in range(32):  # per-combo wav + overlay png + mel npy
+        for ext in (".wav", ".png", ".npy"):
+            assert f"{comb:05b}{ext}" in files, f"{comb:05b}{ext}"
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["synthesize.py", "--ref_name", "p001_001", "--inspection",
+         "--ref_audio_dir", str(ref_dir), "--ref_tg_dir", str(ref_dir),
+         "--sentence", "Hi.", "--outdir", str(outdir),
+         "--src_buckets", "32", "--mel_buckets", "64"],
+    )
+    main()
+    files = set(os.listdir(outdir))
+    inspect_pngs = {f for f in files if "_inspect_" in f and f.endswith(".png")}
+    inspect_wavs = {f for f in files if "_inspect_" in f and f.endswith(".wav")}
+    assert any(f.endswith("_inspect_Reference.png") for f in files)
+    assert len(inspect_wavs) == 10  # the 10 ablation rows
+    assert len(inspect_pngs) == 11  # + the reference row (png only)
+
+
 def test_evaluate_cli(corpus, monkeypatch, capsys):
     monkeypatch.chdir(corpus)
     monkeypatch.setattr(
@@ -163,6 +211,12 @@ def test_serve_cli(tmp_path, monkeypatch):
             # batched: N sentences through ONE jitted synthesize_batch
             {"id": 5, "sentences": ["One two.", "Three."],
              "ref": "p001_001"},
+            # clean per-request errors, not opaque crashes:
+            {"id": 6, "sentences": [], "ref": "p001_001"},
+            {"id": 7, "sentences": ["Hi."], "refs": [], "ref": "p001_001"},
+            # long sentence: chunked synthesis, not a broadcast crash
+            {"id": 8, "ref": "p001_001",
+             "sentence": "The quick brown fox jumps over the lazy dog, " * 4},
             {"id": 4, "cmd": "shutdown"},
         ]
         proc.stdin.write("".join(json.dumps(r) + "\n" for r in reqs))
@@ -193,6 +247,13 @@ def test_serve_cli(tmp_path, monkeypatch):
     for w, ml in zip(by_id[5]["wavs"], by_id[5]["mel_lens"]):
         sr, data = wavfile.read(w)
         assert sr == 22050 and len(data) == ml * 256 > 0
+    # empty sentences / explicitly-empty refs are clean per-request errors
+    assert not by_id[6]["ok"] and "empty" in by_id[6]["error"]
+    assert not by_id[7]["ok"] and "must match" in by_id[7]["error"]
+    # long sentence (past the 32-phoneme src bucket) serves via chunking
+    assert by_id[8]["ok"], by_id[8]
+    sr, data = wavfile.read(by_id[8]["wav"])
+    assert sr == 22050 and len(data) == by_id[8]["mel_len"] * 256 > 0
 
 
 def test_enable_persistent_cache(tmp_path, monkeypatch):

@@ -147,6 +147,56 @@ def test_synthesize_batch_matches_single(synth, ref, spk):
     np.testing.assert_allclose(res[0]["mel"], single["mel"], atol=2e-4, rtol=1e-4)
 
 
+def test_long_reference_trimmed(synth):
+    """A reference past the largest mel bucket is trimmed at extraction
+    (reference drops >=1000-frame mels at preprocess, vctk.py:198-199)
+    instead of crashing the bucketed packers downstream."""
+    t = np.arange(int(22050 * 2.0)) / 22050  # ~172 frames >> 64 bucket
+    wav = (0.4 * np.sin(2 * np.pi * 150 * t) * 32768.0).astype(np.float32)
+    r = extract_reference_features(wav, cfg, synth.frontend)
+    assert r.mel_len == cfg.mel_buckets[-1]
+    assert r.mel.shape[0] == cfg.mel_buckets[-1]
+    assert len(r.f0_norm) == cfg.mel_buckets[-1]
+
+
+def test_long_sentence_chunked(synth, ref, spk):
+    """A sentence past the largest src bucket synthesizes via chunking
+    (reference handles 1000 phonemes in one forward,
+    transformer/Models.py:69-71; the static-shape equivalent is chunked
+    decode + concatenation)."""
+    sentence = "The quick brown fox jumps over the lazy dog, " * 4
+    ids = synth.text_to_ids(sentence)
+    assert len(ids) > cfg.src_buckets[-1], "test sentence must overflow"
+    out = synth.synthesize(sentence, ref, spk)
+    assert out["chunks"] > 1
+    assert out["mel_len"] > 0
+    assert out["mel"].shape == (out["mel_len"], cfg.n_mel_channels)
+    assert out["wav"].shape == (out["mel_len"] * cfg.hop_length,)
+    assert np.isfinite(out["wav"]).all() and np.isfinite(out["mel"]).all()
+    # chunk boundaries land on pause (sp) tokens when available
+    chunks = synth._phoneme_chunks(sentence)
+    assert sum(len(c) for c in chunks) == len(ids)
+    assert all(len(c) <= cfg.src_buckets[-1] for c in chunks)
+
+
+def test_batch_clamps_long_inputs(synth, ref, spk):
+    """Batch/grid paths truncate over-long rows instead of raising the
+    round-2 broadcast ValueError."""
+    long_ref = ReferenceFeatures(
+        mel=np.zeros((100, cfg.n_mel_channels), np.float32),
+        f0_norm=np.full(100, 0.5, np.float32),
+        energy01=np.full(100, 0.5, np.float32),
+        mel_len=100,  # > 64 bucket
+    )
+    long_sentence = "The quick brown fox jumps over the lazy dog " * 4
+    res = synth.synthesize_batch(
+        [long_sentence, "Hi."], [long_ref, ref], [spk, spk]
+    )
+    assert len(res) == 2
+    for r in res:
+        assert np.isfinite(r["wav"]).all()
+
+
 def test_synthesize_batch_sharded_over_mesh(synth, ref, spk):
     """SPMD serving path: batch axis sharded over the 8-device CPU mesh."""
     import jax

@@ -187,7 +187,164 @@ def test_g2p_holdout_rule_accuracy():
         w: " ".join(g2p(w)) for w, pron in gold.items() if " ".join(g2p(w)) != pron
     }
     accuracy = 1.0 - len(misses) / len(gold)
-    assert accuracy >= 0.90, (accuracy, misses)
+    assert accuracy >= 0.95, (accuracy, misses)
+
+
+def test_g2p_heteronyms():
+    """Context-sensitive pronunciations for the top heteronym cases.
+    The reference's g2p_en uses a perceptron POS tagger (reference
+    synthesize.py:9,44-58); the rebuild uses deterministic neighbor-word
+    cues (g2p.G2p._heteronym). Each case pins the stressed/quality-
+    bearing phones of the heteronym inside a real sentence."""
+    g2p = G2p(auto=False)
+
+    def phones_of(sentence, word_idx):
+        """Phones of the word_idx-th word of the sentence."""
+        words = []
+        cur = []
+        for tok in g2p(sentence):
+            if tok == " " or not tok[0].isalpha() and tok[0] != "'":
+                if cur:
+                    words.append(cur)
+                cur = []
+                continue
+            cur.append(tok)
+        if cur:
+            words.append(cur)
+        return " ".join(words[word_idx])
+
+    cases = [
+        # (sentence, word index, expected phones)
+        ("I will record the record.", 2, "R IH0 K AO1 R D"),
+        ("I will record the record.", 4, "R EH1 K ER0 D"),
+        ("They present the present.", 1, "P R IH0 Z EH1 N T"),
+        ("They present the present.", 3, "P R EH1 Z AH0 N T"),
+        ("She has read every book and will read more.", 2, "R EH1 D"),
+        ("She has read every book and will read more.", 7, "R IY1 D"),
+        ("The wind blew hard.", 1, "W IH1 N D"),
+        ("Please wind up the clock.", 1, "W AY1 N D"),
+        ("He lives close to the park.", 2, "K L OW1 S"),
+        ("Please close the door.", 1, "K L OW1 Z"),
+        ("Their lives were saved.", 1, "L AY1 V Z"),
+        ("She lives in town.", 1, "L IH1 V Z"),
+        ("The object is heavy.", 1, "AA1 B JH EH0 K T"),
+        ("They may object to the plan.", 2, "AH0 B JH EH1 K T"),
+        ("A tear rolled down; do not tear the page.", 1, "T IH1 R"),
+        ("A tear rolled down; do not tear the page.", 6, "T EH1 R"),
+        ("The use of force.", 1, "Y UW1 S"),
+        ("We use it daily.", 1, "Y UW1 Z"),
+        ("He used to sing.", 1, "Y UW1 S T"),
+        ("We used the tool.", 1, "Y UW1 Z D"),
+        ("The desert is dry.", 1, "D EH1 Z ER0 T"),
+        ("Do not desert your post.", 2, "D IH0 Z ER1 T"),
+    ]
+    misses = []
+    for sentence, idx, want in cases:
+        got = phones_of(sentence, idx)
+        if got != want:
+            misses.append((sentence, idx, want, got))
+    assert not misses, misses
+
+
+def test_g2p_irregular_words_resolved():
+    """Common irregularly-spelled words, loanwords, and proper nouns that
+    letter-to-sound rules cannot derive resolve through the curated
+    lexicon (the reference's g2p_en learns these from training data)."""
+    from styler_tpu.textproc.lexicon import LEXICON
+
+    gold = {
+        "colonel": "K ER1 N AH0 L", "yacht": "Y AA1 T",
+        "choir": "K W AY1 ER0", "please": "P L IY1 Z",
+        "sergeant": "S AA1 R JH AH0 N T", "queue": "K Y UW1",
+        "subtle": "S AH1 T AH0 L", "debt": "D EH1 T",
+        "receipt": "R IH0 S IY1 T", "schedule": "S K EH1 JH UW0 L",
+        "stomach": "S T AH1 M AH0 K", "tongue": "T AH1 NG",
+        "xavier": "Z EY1 V Y ER0", "worcester": "W UH1 S T ER0",
+        "illinois": "IH2 L AH0 N OY1", "chicago": "SH AH0 K AA1 G OW0",
+    }
+    g2p = G2p(auto=False)
+    for w, pron in gold.items():
+        assert w in LEXICON, w
+        assert " ".join(g2p(w)) == pron, (w, g2p(w))
+
+
+def test_g2p_french_ending_rules():
+    """-ique (stressed IY1 K) and final -gue (bare G) are regular enough
+    to be rules, generalizing past the lexicon (boutique, plague are NOT
+    lexicon entries)."""
+    from styler_tpu.textproc.lexicon import LEXICON
+
+    g2p = G2p(auto=False)
+    for w in ("boutique", "critique", "oblique", "plague", "colleague"):
+        assert w not in LEXICON, w
+    for w in ("boutique", "critique", "oblique"):
+        got = " ".join(g2p(w))
+        # pin the ending + final stress; the unstressed first-syllable
+        # vowel is the rule engine's guess and not pinned
+        assert got.endswith("IY1 K") and "1" not in got[:-5], (w, got)
+    assert " ".join(g2p("colleague")) == "K AA1 L IY0 G"
+    assert " ".join(g2p("plague")).endswith("G")
+
+
+def test_g2p_adversarial_holdout():
+    """Measured accuracy on ADVERSARIAL out-of-vocabulary words —
+    irregular spellings, French/Spanish loanwords, tricky proper nouns —
+    none of which are lexicon entries. A rules engine cannot derive
+    these (the reference's neural g2p_en largely can); this test
+    documents the shipped floor honestly rather than hiding it: the
+    engine must still emit plausible, non-empty ARPAbet for every word
+    (serving never crashes on OOV), and the measured exact-match
+    accuracy is pinned so regressions and improvements are visible.
+
+    Measured 2026-08-19: 0/24 exact — these 24 are chosen precisely
+    because no letter-to-sound rule can produce them; the fix is lexicon
+    coverage (the most common irregulars ARE lexicon entries, see
+    test_g2p_irregular_words_resolved — this list is what remains
+    beyond it). If this number improves, raise the bound AND update
+    the PARITY.md G2P entry."""
+    from styler_tpu.textproc.lexicon import LEXICON
+    from styler_tpu.textproc.symbols import symbol_to_id as s2i
+
+    gold = {
+        "lieutenant": "L UW0 T EH1 N AH0 N T",
+        "bologna": "B AH0 L OW1 N IY0",
+        "indict": "IH0 N D AY1 T",
+        "corps": "K AO1 R",
+        "cupboard": "K AH1 B ER0 D",
+        "handsome": "HH AE1 N S AH0 M",
+        "epitome": "IH0 P IH1 T AH0 M IY0",
+        "facade": "F AH0 S AA1 D",
+        "croissant": "K R AH0 S AA1 N T",
+        "silhouette": "S IH2 L UW0 EH1 T",
+        "camouflage": "K AE1 M AH0 F L AA2 ZH",
+        "coup": "K UW1",
+        "depot": "D IY1 P OW0",
+        "mortgage": "M AO1 R G AH0 JH",
+        "asthma": "AE1 Z M AH0",
+        "czar": "Z AA1 R",
+        "gauge": "G EY1 JH",
+        "fatigue": "F AH0 T IY1 G",
+        "plaid": "P L AE1 D",
+        "suede": "S W EY1 D",
+        "gourmet": "G UH0 R M EY1",
+        "leicester": "L EH1 S T ER0",
+        "yosemite": "Y OW0 S EH1 M IH0 T IY0",
+        "siobhan": "SH AH0 V AO1 N",
+    }
+    g2p = G2p(auto=False)
+    assert not any(w in LEXICON for w in gold), "holdout word in lexicon"
+    hits = 0
+    for w, pron in gold.items():
+        out = g2p(w)
+        # never crash, never emit an unencodable symbol
+        assert out, w
+        assert all(f"@{p}" in s2i for p in out), (w, out)
+        hits += " ".join(out) == pron
+    accuracy = hits / len(gold)
+    assert accuracy <= 0.5, (
+        f"adversarial accuracy now {accuracy:.2f} — congratulations; "
+        "raise the bound and update PARITY.md"
+    )
 
 
 def test_g2p_loaded_lexicon_overrides_builtin(tmp_path):
