@@ -572,25 +572,38 @@ class Synthesizer:
             ).reshape(B, -1)
         return mel_postnet, wav, p_pred, e_pred, mel_mask
 
-    @functools.partial(jax.jit, static_argnames=("self", "n"))
-    def _trim_jit(self, mel_postnet, wav, p_pred, e_pred, n):
-        """Device-side truncation of the padded outputs to the n-frame
-        bucket before the host fetch — the full mel bucket is ~45 MB per
-        32-combo call and the tunnel transfer dominates otherwise."""
+    def _compress(self, mel_postnet, wav, p_pred, e_pred, n):
+        """Trim to n frames + fetch compression (traced). The combo
+        fetch over the tunnel dominates mix_and_match wall time (432 of
+        436 ms at ~11 MB f32; raw tunnel profile ~30 ms/fetch + ~36 MB/s,
+        tools/mix_breakdown.py 2026-08-19), so the wav goes over as
+        int16 — exactly the quantization audiowrite applies when writing
+        the file (data/audio_io.py:58) — and the plot/npy features as
+        f16 (<=5e-4 relative error on log-mel), halving the bytes."""
+        wav_i16 = jnp.round(
+            jnp.clip(wav[:, : n * self.config.hop_length], -1.0, 1.0) * 32767.0
+        ).astype(jnp.int16)
         return (
-            mel_postnet[:, :n],
-            wav[:, : n * self.config.hop_length],
-            p_pred[:, :n],
-            e_pred[:, :n],
+            mel_postnet[:, :n].astype(jnp.float16),
+            wav_i16,
+            p_pred[:, :n].astype(jnp.float16),
+            e_pred[:, :n].astype(jnp.float16),
         )
 
-    def _mix_results(self, titles, mel_postnet, wav, p_pred, e_pred, mel_mask):
-        """Device outputs [B, ...] -> per-combo host dicts."""
-        mel_lens = (~np.asarray(mel_mask)).sum(-1)
-        n = bucket_for(int(mel_lens.max()), self.config.mel_buckets)
-        mel_postnet, wav, p_pred, e_pred = jax.device_get(
-            self._trim_jit(mel_postnet, wav, p_pred, e_pred, n)
+    @functools.partial(jax.jit, static_argnames=("self", "n"))
+    def _trim_jit(self, mel_postnet, wav, p_pred, e_pred, n):
+        return self._compress(mel_postnet, wav, p_pred, e_pred, n)
+
+    def _unpack_results(self, titles, mel_postnet, wav, p_pred, e_pred, mel_lens):
+        """Fetched compressed outputs [B, ...] -> per-combo host dicts
+        (one device_get for everything)."""
+        mel_postnet, wav, p_pred, e_pred, mel_lens = jax.device_get(
+            (mel_postnet, wav, p_pred, e_pred, mel_lens)
         )
+        mel_postnet = mel_postnet.astype(np.float32)
+        wav = wav.astype(np.float32) / 32767.0
+        p_pred = p_pred.astype(np.float32)
+        e_pred = e_pred.astype(np.float32)
         out = {}
         for i, title in enumerate(titles):
             ml = int(mel_lens[i])
@@ -602,6 +615,19 @@ class Synthesizer:
                 "mel_len": ml,
             }
         return out
+
+    def _mix_results(self, titles, mel_postnet, wav, p_pred, e_pred, mel_mask):
+        """Uncompressed device outputs [B, ...] -> per-combo host dicts:
+        fetch the mask, pick the smallest trim bucket, compress, fetch
+        (the inspect path — its decode bucket is the max but rows are
+        usually shorter, so the mask round-trip pays for itself)."""
+        mel_lens = (~np.asarray(mel_mask)).sum(-1)
+        n = bucket_for(int(mel_lens.max()), self.config.mel_buckets)
+        return self._unpack_results(
+            titles,
+            *self._trim_jit(mel_postnet, wav, p_pred, e_pred, n),
+            mel_lens,
+        )
 
     def _pitch_up(self, x):
         return self.model.apply(
@@ -717,7 +743,11 @@ class Synthesizer:
         self, t4, t_neck4, n4, d4, p_down4, e4, s4, s_down4, src_mask4, max_mel_len
     ):
         """Gather the 32 combos from the 4 base rows ((text, ref) =
-        (0,0),(0,1),(1,0),(1,1)) and run the mixed decode — one program.
+        (0,0),(0,1),(1,0),(1,1)) and run the mixed decode — one program,
+        with the fetch compression fused in: every combo's duration
+        input equals some base row's, so the trim bucket always equals
+        the decode bucket and the inspect path's mask-fetch round trip
+        + separate trim dispatch (~70 ms on the tunnel) can be skipped.
 
         comb "abcde": a selects the text (and noise/masks), b duration,
         c pitch, d energy, e speaker (reference create_enc_comb,
@@ -738,8 +768,13 @@ class Synthesizer:
         )
         mask = jnp.take(src_mask4, row(a), axis=0)
         ones = jnp.ones(32, jnp.float32)
-        return self._mix_core(
+        mel_postnet, wav, p_pred, e_pred, mel_mask = self._mix_core(
             T, TN + p_tgt, E, D, S, N, mask, ones, 0.0 * ones, max_mel_len
+        )
+        mel_lens = (~mel_mask).sum(-1)
+        return (
+            *self._compress(mel_postnet, wav, p_pred, e_pred, max_mel_len),
+            mel_lens,
         )
 
     def mix_and_match(
@@ -780,7 +815,7 @@ class Synthesizer:
             enc["e"], enc["s"], enc["s_down"], src_mask, M_comb,
         )
         titles = [f"{comb:05b}" for comb in range(32)]
-        return self._mix_results(titles, *outs)
+        return self._unpack_results(titles, *outs)
 
 
 def load_reference(

@@ -150,9 +150,10 @@ def main():
     for i in range(1, 4):
         t0 = time.perf_counter()
         o = comb(i)
+        # outputs are the fetch-compressed (mel f16, wav i16, p, e, lens)
         float(
-            jnp.sum(o[1][..., 0])
-            + jnp.sum(o[0][..., 0, 0]) * 1e-20
+            jnp.sum(o[1][..., 0].astype(jnp.float32))
+            + jnp.sum(o[0][..., 0, 0].astype(jnp.float32)) * 1e-20
             + jnp.sum(o[4]) * 1e-20
         )
         best = min(best, time.perf_counter() - t0)
@@ -162,21 +163,20 @@ def main():
         {"M_comb": int(M_comb), "wav_samples": int(outs[1].shape[1])},
     )
 
-    # ---- host fetch of the trimmed results ------------------------------
+    # ---- host fetch of the compressed results ----------------------------
     titles = [f"{c:05b}" for c in range(32)]
-    res = synth._mix_results(titles, *outs)  # warm trim program
+    res = synth._unpack_results(titles, *outs)  # warm
     best = float("inf")
     for i in range(1, 4):
         o = comb(i + 100)
         # fence the compute first so the fetch term is fetch-only
-        float(jnp.sum(o[1][..., 0]))
+        float(jnp.sum(o[1][..., 0].astype(jnp.float32)))
         t0 = time.perf_counter()
-        synth._mix_results(titles, *o)
+        synth._unpack_results(titles, *o)
         best = min(best, time.perf_counter() - t0)
-    n = bucket_for(
-        int((~np.asarray(outs[4])).sum(-1).max()), cfg.mel_buckets
-    )
-    bytes_fetched = 32 * n * (cfg.hop_length * 4 + 80 * 4 + 8)
+    n = int(outs[0].shape[1])
+    # int16 wav + f16 mel/f0/energy after the fetch-compression change
+    bytes_fetched = 32 * n * (cfg.hop_length * 2 + 80 * 2 + 4)
     emit(
         "mix_results_trim_and_fetch",
         best,
