@@ -454,13 +454,16 @@ def bench_vocoder(cfg):
                 (1, M, cfg.n_mel_channels)
             ).astype(np.float32)
         )
+        # jit both applies: eager execution costs one tunnel RPC per op
+        # on this platform (CLAUDE.md) — seconds of avoidable wall time
         wav_ref = np.asarray(
-            generator_apply_fused(
-                hgen_vars, mel_in, hgen.config,
-                compute_dtype=hgen.compute_dtype,
-            )
+            jax.jit(
+                lambda v, m: generator_apply_fused(
+                    v, m, hgen.config, compute_dtype=hgen.compute_dtype
+                )
+            )(hgen_vars, mel_in)
         )[0]
-        wav_q = np.asarray(vocode_q(hgen_vars, mel_in))[0]
+        wav_q = np.asarray(jax.jit(vocode_q)(hgen_vars, mel_in))[0]
         m_ref, _ = fe(wav_ref)
         m_q, _ = fe(wav_q)
         mel_mae = float(np.mean(np.abs(np.asarray(m_ref) - np.asarray(m_q))))

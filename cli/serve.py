@@ -26,7 +26,10 @@ distinct request sizes reuse a handful of compiled programs):
   {"sentences": ["...", "..."], "ref": "p225_001",  # or per-sentence
    "refs": ["p225_001", "p226_002"], ...}           # "refs" list
   -> {"id":..., "ok": true, "wavs": [...], "wavs_noisy": [...],
-      "mel_lens": [...], "ms": ...}
+      "mel_lens": [...], "ms": ...,
+      "truncated": [...]}   # present iff some item was clamped to the
+                            # largest bucket (batch paths clamp; the
+                            # single-sentence path chunks instead)
 
 A line of the form {"cmd": "ping"} replies {"ok": true, "pong": true};
 {"cmd": "shutdown"} exits after replying. EOF on stdin also exits.
@@ -76,9 +79,11 @@ def main() -> None:
     )
     parser.add_argument(
         "--warmup_batches", type=int, nargs="+", default=[1],
-        help="batch sizes to warm on the live path (batched requests pad "
-        "to powers of two; e.g. --warmup_batches 1 8). Ignored with "
-        "--bundle (its exported batches are warmed as-is).",
+        help="largest batch size to warm on the live path; expanded to "
+        "every power of two up to it (batched requests pad to powers of "
+        "two, so e.g. --warmup_batches 8 warms 1 2 4 8 and no request "
+        "of <=8 sentences pays a compile). Ignored with --bundle (its "
+        "exported batches are warmed as-is).",
     )
     args = parser.parse_args()
 
@@ -124,10 +129,16 @@ def main() -> None:
         # every exported program (buckets come from the bundle manifest,
         # which may differ from cfg's).
         t0 = time.perf_counter()
+        # expand to every power-of-two pad target: a batched request of
+        # any size <= max(--warmup_batches) lands on a warmed program
+        top = 1 << (max(args.warmup_batches) - 1).bit_length()
+        batches = [1]
+        while batches[-1] < top:
+            batches.append(batches[-1] * 2)
         n_warm = (
             synth.warmup()
             if args.bundle
-            else synth.warmup(batches=tuple(args.warmup_batches))
+            else synth.warmup(batches=tuple(batches))
         )
         print(
             f"warmup: {n_warm} programs compiled in "
@@ -211,16 +222,22 @@ def main() -> None:
                     wavs.append(base)
                     wavs_noisy.append(noisy_path)
                     mel_lens.append(int(r["mel_len"]))
-                reply(
-                    {
-                        "id": rid,
-                        "ok": True,
-                        "wavs": wavs,
-                        "wavs_noisy": wavs_noisy,
-                        "mel_lens": mel_lens,
-                        "ms": round((time.perf_counter() - t0) * 1e3, 2),
-                    }
-                )
+                batch_reply = {
+                    "id": rid,
+                    "ok": True,
+                    "wavs": wavs,
+                    "wavs_noisy": wavs_noisy,
+                    "mel_lens": mel_lens,
+                    "ms": round((time.perf_counter() - t0) * 1e3, 2),
+                }
+                # the batch path clamps over-long inputs (it cannot
+                # chunk like the single path): tell the client which
+                # items lost content instead of a silently-short wav
+                if any(r.get("truncated") for r in results):
+                    batch_reply["truncated"] = [
+                        bool(r.get("truncated")) for r in results
+                    ]
+                reply(batch_reply)
                 continue
             ref, spk = get_ref(
                 req["ref"], req.get("speaker_id"), req.get("noisy_input", False)

@@ -297,13 +297,11 @@ class ServingBundle:
                     jax_export.deserialize(bytearray(f.read()))
                 )
 
-    def _bucket(self, idx: int, n: int, clamp: bool = False) -> int:
+    def _bucket(self, idx: int, n: int) -> int:
         opts = sorted({k[idx] for k in self._exported})
         for o in opts:
             if n <= o:
                 return o
-        if clamp:
-            return opts[-1]
         raise ValueError(f"no exported bucket >= {n} (have {opts})")
 
     def call(self, batch, src_bucket, mel_bucket, *arrays):
@@ -343,24 +341,30 @@ class ServingBundle:
         return len(self._exported)
 
     def _clamp_row(self, ids, mel, f0_norm, energy01):
+        """Bound one row to the largest exported buckets; the final bool
+        says whether anything was cut (surfaced as ``truncated`` in the
+        result dict so callers/clients see the content loss)."""
         import logging
 
         log = logging.getLogger("styler_tpu.export")
         L_max = max(k[1] for k in self._exported)
         M_max = max(k[2] for k in self._exported)
+        cut = False
         if len(ids) > L_max:
             log.warning(
                 "sentence has %d phonemes > largest exported src bucket "
                 "%d; truncating", len(ids), L_max,
             )
             ids = ids[:L_max]
+            cut = True
         if len(f0_norm) > M_max:
             log.warning(
                 "reference has %d mel frames > largest exported mel "
                 "bucket %d; trimming", len(f0_norm), M_max,
             )
             mel, f0_norm, energy01 = mel[:M_max], f0_norm[:M_max], energy01[:M_max]
-        return ids, mel, f0_norm, energy01
+            cut = True
+        return ids, mel, f0_norm, energy01, cut
 
     def synthesize(
         self,
@@ -434,7 +438,7 @@ class ServingBundle:
         mel_len = np.ones(B, np.int32)
         spk = np.zeros((B, self.manifest["speaker_embed_dim"]), np.float32)
         for i in range(B):
-            ids, m, f, e = rows[min(i, n - 1)]  # pad rows repeat the last
+            ids, m, f, e, _ = rows[min(i, n - 1)]  # pad rows repeat the last
             k = len(f)
             src_seq[i, : len(ids)] = ids
             src_len[i] = len(ids)
@@ -462,6 +466,7 @@ class ServingBundle:
                     "f0": np.asarray(out["f0"])[i, :ml],
                     "energy": np.asarray(out["energy"])[i, :ml],
                     "mel_len": ml,
+                    "truncated": rows[i][4],
                 }
             )
         return results
@@ -544,5 +549,14 @@ class BundleSynthesizer:
         )
 
     def warmup(self) -> int:
-        """Compile-warm every exported program (see ServingBundle.warmup)."""
-        return self.bundle.warmup()
+        """Compile-warm every exported program (see ServingBundle.warmup)
+        plus the mel front end's common wav-length buckets — reference
+        feature extraction on the first request otherwise pays the
+        frontend compile (measured ~3-4 s of the first bundle-serve
+        request on a v5e)."""
+        n = self.bundle.warmup()
+        for F in (256, 1024):
+            self.frontend(
+                np.zeros((F - 1) * self.config.hop_length, np.float32)
+            )
+        return n

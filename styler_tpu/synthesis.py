@@ -155,7 +155,9 @@ class Synthesizer:
     # ------------------------------------------------------------------
 
     def text_to_ids(self, sentence: str) -> np.ndarray:
-        phoneme_str = to_phoneme_string(sentence, self.g2p)
+        return self._ids_from_phonemes(to_phoneme_string(sentence, self.g2p))
+
+    def _ids_from_phonemes(self, phoneme_str: str) -> np.ndarray:
         return np.asarray(
             text_to_sequence(phoneme_str, list(self.config.text_cleaners)),
             dtype=np.int32,
@@ -192,13 +194,13 @@ class Synthesizer:
             energy01=ref.energy01[:cap], mel_len=cap,
         )
 
-    def _phoneme_chunks(self, sentence: str) -> List[np.ndarray]:
-        """Split a long sentence into per-chunk phoneme-id rows, each
-        fitting the largest src bucket, cutting at `sp` (punctuation /
-        pause) tokens when one is available (ids are 1:1 with phoneme
-        tokens, so the split is exact)."""
+    def _phoneme_chunks(self, phoneme_str: str) -> List[np.ndarray]:
+        """Split a long sentence's (already-computed) phoneme string into
+        per-chunk phoneme-id rows, each fitting the largest src bucket,
+        cutting at `sp` (punctuation / pause) tokens when one is
+        available (ids are 1:1 with phoneme tokens, so the split is
+        exact)."""
         cap = self.config.src_buckets[-1]
-        phoneme_str = to_phoneme_string(sentence, self.g2p)
         tokens = phoneme_str[1:-1].split(" ")
         chunks, start = [], 0
         while start < len(tokens):
@@ -221,28 +223,35 @@ class Synthesizer:
         return chunks
 
     def _synthesize_long(
-        self, sentence, ref, speaker_embed, d_control, p_control, e_control
+        self, phoneme_str, ref, speaker_embed, d_control, p_control, e_control
     ) -> Dict:
         """Chunked synthesis for sentences past the largest src bucket:
         one batched forward over the chunks, outputs concatenated in
         order. The reference handles up to 1000 phonemes in one forward
         (transformer/Models.py:69-71); the static-shape equivalent is
         chunking — each chunk's mel is also bounded by the largest mel
-        bucket, which a single 1000-phoneme forward would overflow."""
-        ids_rows = self._phoneme_chunks(sentence)
+        bucket, which a single 1000-phoneme forward would overflow.
+        The chunk batch pads to the next power of two so the compiled
+        batch sizes stay bounded and `warmup(batches=...)` can cover
+        them (otherwise every distinct chunk count would compile a
+        fresh program at request time)."""
+        ids_rows = self._phoneme_chunks(phoneme_str)
+        k = len(ids_rows)
         _log.warning(
             "sentence exceeds the largest src bucket (%d phonemes); "
             "synthesizing as %d chunks and concatenating",
-            self.config.src_buckets[-1], len(ids_rows),
+            self.config.src_buckets[-1], k,
         )
+        B = 1 << (k - 1).bit_length()
+        ids_rows = ids_rows + [ids_rows[0][:1]] * (B - k)
         parts = self.synthesize_batch(
-            [None] * len(ids_rows),
-            [ref] * len(ids_rows),
-            [speaker_embed] * len(ids_rows),
+            [None] * B,
+            [ref] * B,
+            [speaker_embed] * B,
             d_control=d_control, p_control=p_control, e_control=e_control,
             ids_rows=ids_rows,
-        )
-        cat = lambda k: np.concatenate([p[k] for p in parts], axis=0)
+        )[:k]
+        cat = lambda key: np.concatenate([p[key] for p in parts], axis=0)
         return {
             "mel": cat("mel"),
             "mel_noisy": cat("mel_noisy"),
@@ -251,7 +260,7 @@ class Synthesizer:
             "f0": cat("f0"),
             "energy": cat("energy"),
             "mel_len": int(sum(p["mel_len"] for p in parts)),
-            "chunks": len(ids_rows),
+            "chunks": k,
         }
 
     @functools.partial(jax.jit, static_argnames=("self", "max_mel_len"))
@@ -391,10 +400,12 @@ class Synthesizer:
         """
         cfg = self.config
         ref = self._clamp_ref(ref)
-        ids = self.text_to_ids(sentence)
+        phoneme_str = to_phoneme_string(sentence, self.g2p)
+        ids = self._ids_from_phonemes(phoneme_str)
         if len(ids) > cfg.src_buckets[-1]:
             return self._synthesize_long(
-                sentence, ref, speaker_embed, d_control, p_control, e_control
+                phoneme_str, ref, speaker_embed, d_control, p_control,
+                e_control,
             )
         L = bucket_for(len(ids), cfg.src_buckets)
         M_in = bucket_for(ref.mel_len, cfg.mel_buckets)
@@ -465,6 +476,10 @@ class Synthesizer:
         ids = ids_rows if ids_rows is not None else [
             self.text_to_ids(s) for s in sentences
         ]
+        truncated = [
+            len(i) > cfg.src_buckets[-1] or r.mel_len > cfg.mel_buckets[-1]
+            for i, r in zip(ids, refs)
+        ]
         ids = [self._clamp_ids(i) for i in ids]
         refs = [self._clamp_ref(r) for r in refs]
         L = bucket_for(max(len(i) for i in ids), cfg.src_buckets)
@@ -522,6 +537,10 @@ class Synthesizer:
                     "f0": np.asarray(out.p_prediction)[i, :ml],
                     "energy": np.asarray(out.e_prediction)[i, :ml],
                     "mel_len": ml,
+                    # surfaced in serve replies: the batch path clamps
+                    # over-long inputs rather than chunking (the
+                    # single-sentence path chunks instead)
+                    "truncated": truncated[i],
                 }
             )
         return results

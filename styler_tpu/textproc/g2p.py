@@ -19,6 +19,13 @@ output contract — a list of ARPAbet tokens and punctuation marks:
    (longest-match grapheme chunks, magic-e long vowels, soft c/g,
    positional s-voicing).
 
+A heteronym layer (neighbor-word context cues for the top noun/verb
+stress pairs and vowel-quality cases) sits ABOVE the dictionaries —
+dictionary entries are context-free, which is exactly what it corrects —
+except for explicitly-loaded entries (``load_cmudict`` calls /
+``STYLER_TPU_LEXICON``), which always win: a deliberately-supplied
+domain lexicon ("bass" in a fishing corpus) beats the context guess.
+
 ``to_phoneme_string`` reproduces the exact formatting of the reference's
 ``preprocess_text`` (synthesize.py:44-58): ``{AH0 M ...}`` spans with
 ``{sp}`` standing in for punctuation.
@@ -197,19 +204,26 @@ class G2p:
 
     def __init__(self, cmudict_path: Optional[str] = None, auto: bool = True):
         self.lexicon: Dict[str, str] = dict(_LEXICON)
+        # words whose pronunciation the USER chose (explicit path / env
+        # var): these beat the heteronym context rules; auto-discovered
+        # generic dictionaries do not (their entries are context-free,
+        # which is exactly what the heteronym layer corrects).
+        self._explicit: set = set()
+        env_path = os.environ.get("STYLER_TPU_LEXICON", "")
         if cmudict_path:
             self.load_cmudict(cmudict_path)
         elif auto:
-            probed = [os.environ.get("STYLER_TPU_LEXICON", "")]
-            probed += list(DEFAULT_LEXICON_PATHS)
-            for p in probed:
+            for p in [env_path] + list(DEFAULT_LEXICON_PATHS):
                 if p and os.path.isfile(p):
-                    self.load_cmudict(p)
+                    self.load_cmudict(p, explicit=(p == env_path))
 
-    def load_cmudict(self, path: str) -> None:
+    def load_cmudict(self, path: str, explicit: bool = True) -> None:
         """Load a CMUdict-format lexicon ('WORD  PH PH PH' lines).
         Loaded entries override the built-in lexicon (a real dictionary
-        beats the curated fallback); alternates '(n)' are skipped."""
+        beats the curated fallback); alternates '(n)' are skipped.
+        ``explicit`` entries (the default for direct calls) also beat
+        the heteronym context rules — a deliberately-supplied
+        domain lexicon wins everywhere."""
         alt = re.compile(r"\([0-9]+\)$")
         loaded: Dict[str, str] = {}
         with open(path, encoding="latin-1") as f:
@@ -224,6 +238,8 @@ class G2p:
                 word = parts[0].lower()
                 loaded.setdefault(word, parts[1].strip())
         self.lexicon.update(loaded)
+        if explicit:
+            self._explicit.update(loaded)
 
     # -- morphology ----------------------------------------------------
 
@@ -476,6 +492,8 @@ class G2p:
             while 0 <= j < len(words):
                 if words[j] is not None:
                     return words[j]
+                if matches[j] in ".!?;":
+                    return None  # heteronym cues don't cross sentences
                 j += step
             return None
 
@@ -487,7 +505,11 @@ class G2p:
                 tokens.append(tok)
                 continue
             word = words[idx]
-            het = self._heteronym(word, neighbor(idx, -1), neighbor(idx, +1))
+            het = (
+                None
+                if word in self._explicit
+                else self._heteronym(word, neighbor(idx, -1), neighbor(idx, +1))
+            )
             if het is not None:
                 tokens.extend(het.split())
             else:

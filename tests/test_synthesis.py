@@ -174,9 +174,12 @@ def test_long_sentence_chunked(synth, ref, spk):
     assert out["wav"].shape == (out["mel_len"] * cfg.hop_length,)
     assert np.isfinite(out["wav"]).all() and np.isfinite(out["mel"]).all()
     # chunk boundaries land on pause (sp) tokens when available
-    chunks = synth._phoneme_chunks(sentence)
+    from styler_tpu.textproc import to_phoneme_string
+
+    chunks = synth._phoneme_chunks(to_phoneme_string(sentence, synth.g2p))
     assert sum(len(c) for c in chunks) == len(ids)
     assert all(len(c) <= cfg.src_buckets[-1] for c in chunks)
+    assert out["chunks"] == len(chunks)
 
 
 def test_batch_clamps_long_inputs(synth, ref, spk):
@@ -195,6 +198,32 @@ def test_batch_clamps_long_inputs(synth, ref, spk):
     assert len(res) == 2
     for r in res:
         assert np.isfinite(r["wav"]).all()
+    # the clamp is not silent: the result flags which items lost content
+    assert res[0]["truncated"] and not res[1]["truncated"]
+
+
+def test_chunked_batch_pads_to_power_of_two(synth, ref, spk, monkeypatch):
+    """The chunked long-sentence path pads its chunk batch to the next
+    power of two so the compiled batch sizes stay bounded (a 3-chunk
+    sentence must not compile a fresh B=3 program that warmup never
+    covered)."""
+    seen = []
+    orig = synth.synthesize_batch
+
+    def spy(sentences, *a, **kw):
+        seen.append(len(sentences))
+        return orig(sentences, *a, **kw)
+
+    monkeypatch.setattr(synth, "synthesize_batch", spy)
+    from styler_tpu.textproc import to_phoneme_string
+
+    sentence = "The quick brown fox jumps over the lazy dog, " * 6
+    k = len(synth._phoneme_chunks(to_phoneme_string(sentence, synth.g2p)))
+    assert k >= 3, "test sentence must split into >=3 chunks"
+    out = synth.synthesize(sentence, ref, spk)
+    assert out["chunks"] == k
+    assert seen == [1 << (k - 1).bit_length()]
+    assert out["wav"].shape == (out["mel_len"] * cfg.hop_length,)
 
 
 def test_synthesize_batch_sharded_over_mesh(synth, ref, spk):

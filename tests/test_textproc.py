@@ -246,6 +246,33 @@ def test_g2p_heteronyms():
     assert not misses, misses
 
 
+def test_g2p_heteronym_context_stops_at_sentence_boundary():
+    """Cue words must not leak across a sentence boundary: 'did' ends
+    the first sentence, so it is not a verb cue for 'present' opening
+    the next one (noun/adjective default applies)."""
+    g2p = G2p(auto=False)
+    phones = " ".join(g2p("I know what you did. Present company excluded."))
+    assert "P R EH1 Z AH0 N T" in phones, phones
+    # control: with the cue in the SAME sentence the verb reading fires
+    phones2 = " ".join(g2p("you did present it"))
+    assert "P R IH0 Z EH1 N T" in phones2, phones2
+
+
+def test_g2p_explicit_lexicon_beats_heteronym_table(tmp_path):
+    """A deliberately-loaded domain lexicon wins over the heteronym
+    context rules (module docstring contract): a fishing-domain 'bass'
+    stays B AE1 S even in contexts the table would call the instrument.
+    Auto-discovered generic dictionaries do NOT suppress the heteronym
+    layer (their entries are context-free)."""
+    lex = tmp_path / "domain.txt"
+    lex.write_text("BASS  B AE1 S\n")
+    g2p = G2p(cmudict_path=str(lex))
+    assert "B AE1 S" in " ".join(g2p("he played the bass"))
+    # without the explicit entry the table picks the instrument here
+    g2p_plain = G2p(auto=False)
+    assert "B EY1 S" in " ".join(g2p_plain("he played the bass"))
+
+
 def test_g2p_irregular_words_resolved():
     """Common irregularly-spelled words, loanwords, and proper nouns that
     letter-to-sound rules cannot derive resolve through the curated
