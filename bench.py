@@ -579,28 +579,47 @@ def bench_preprocess(cfg):
                  cfg.f0_min, cfg.f0_max)
     dt_serial = (time.perf_counter() - t0) / iters
 
-    # --- batched path: vmapped mel front end + batched f0 ---
+    # --- batched path ---------------------------------------------------
+    # On an accelerator: the FUSED front end (dsp/preprocess.py) — mel +
+    # energy + f0 in ONE program over ONE int16 wav upload per batch,
+    # exactly what build_from_path(f0_backend="device") runs. On CPU:
+    # the two-stage batched path (vmapped mel + multithreaded native f0).
     B = 2 if _SMOKE else 16
-    wavs = [
-        (np.roll(wav, 17 * i) + 0.001 * i).astype(np.float32) for i in range(B)
+    # int16 inputs: what production reads off disk (and half the upload)
+    wavs_i16 = [
+        np.round(np.roll(wav, 17 * i) * 32767.0).astype(np.int16)
+        for i in range(B)
     ]  # distinct inputs (defeat memoization)
-    f0_backend = "device" if jax.default_backend() != "cpu" else None
-    fe.batch(wavs)  # compile
-    track_f0_batch(
-        [w * 32768.0 for w in wavs], cfg.sampling_rate, cfg.hop_length,
-        cfg.f0_min, cfg.f0_max, backend=f0_backend,
-    )  # compile
+    on_dev = jax.default_backend() != "cpu"
+    f0_backend = "device" if on_dev else None
     iters = 1 if _SMOKE else 4
-    t0 = time.perf_counter()
-    # i+1: i=0 would replay the warmup's exact inputs, which this
-    # platform memoizes (CLAUDE.md) — the iteration would be free
-    for i in range(1, iters + 1):
-        fe.batch([w + i * 1e-6 for w in wavs])
+    if on_dev:
+        from styler_tpu.dsp.preprocess import preprocess_batch
+
+        preprocess_batch(cfg, wavs_i16, frontend=fe)  # compile
+        t0 = time.perf_counter()
+        # roll by i: identical inputs would replay memoized results on
+        # this platform (CLAUDE.md)
+        for i in range(1, iters + 1):
+            preprocess_batch(
+                cfg, [np.roll(w, i) for w in wavs_i16], frontend=fe
+            )
+        dt_batch = (time.perf_counter() - t0) / (iters * B)
+    else:
+        wavs = [w.astype(np.float32) / 32768.0 for w in wavs_i16]
+        fe.batch(wavs)  # compile
         track_f0_batch(
-            [w * 32768.0 + i for w in wavs], cfg.sampling_rate,
-            cfg.hop_length, cfg.f0_min, cfg.f0_max, backend=f0_backend,
-        )
-    dt_batch = (time.perf_counter() - t0) / (iters * B)
+            [w * 32768.0 for w in wavs], cfg.sampling_rate, cfg.hop_length,
+            cfg.f0_min, cfg.f0_max, backend=f0_backend,
+        )  # compile
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            fe.batch([w + i * 1e-6 for w in wavs])
+            track_f0_batch(
+                [w * 32768.0 + i for w in wavs], cfg.sampling_rate,
+                cfg.hop_length, cfg.f0_min, cfg.f0_max, backend=f0_backend,
+            )
+        dt_batch = (time.perf_counter() - t0) / (iters * B)
 
     _emit(
         "preprocess_throughput_rtf",
@@ -611,6 +630,7 @@ def bench_preprocess(cfg):
             "per_utt_ms": round(dt_batch * 1e3, 1),
             "serial_rtf": round(seconds / dt_serial, 1),
             "f0_backend": f0_backend or "native",
+            "fused": on_dev,
         },
     )
 

@@ -191,12 +191,14 @@ def process_utterance(
     frontend: MelFrontend,
     loaded: Optional[Tuple[np.ndarray, str, List[int]]] = None,
     f0: Optional[np.ndarray] = None,
+    mel_energy: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Optional[Tuple[str, float, float, float, float, int]]:
     """One utterance → 6 npy files (reference vctk.py:167-224).
 
-    ``loaded``/``f0`` let build_from_path reuse staged wavs and f0 tracks
-    computed by the multithreaded batch tracker (dsp/pitch.py:
-    track_f0_batch); standalone callers omit them.
+    ``loaded``/``f0``/``mel_energy`` let build_from_path reuse staged
+    wavs and batch-computed features (the multithreaded host f0 tracker,
+    dsp/pitch.py:track_f0_batch, or the fused on-device front end,
+    dsp/preprocess.py); standalone callers omit them.
     """
     if loaded is None:
         loaded = load_aligned(in_dir, out_dir, dirname, basename, config)
@@ -210,7 +212,10 @@ def process_utterance(
     else:
         f0 = np.asarray(f0)[:total]
 
-    mel, energy = frontend(np.asarray(wav) / config.max_wav_value)
+    if mel_energy is not None:
+        mel, energy = mel_energy
+    else:
+        mel, energy = frontend(np.asarray(wav) / config.max_wav_value)
     mel = np.asarray(mel).astype(np.float32)[:, :total]
     energy = np.asarray(energy).astype(np.float32)[:total]
     if mel.shape[1] >= config.max_seq_len:
@@ -328,21 +333,37 @@ def build_from_path(in_dir: str, out_dir: str, config: Config,
 
         for c0 in range(0, len(staged), CHUNK):
             chunk = staged[c0: c0 + CHUNK]
+            mels = [None] * len(chunk)
             try:
-                f0s = track_f0_batch(
-                    [ld[0] for (_, _, _, ld) in chunk],
-                    config.sampling_rate,
-                    config.hop_length,
-                    config.f0_min,
-                    config.f0_max,
-                    backend=f0_backend,
-                )
+                if f0_backend == "device":
+                    # fused on-device front end: mel + energy + f0 for
+                    # the whole chunk in ONE program over ONE (int16)
+                    # wav upload (dsp/preprocess.py) — host<->device
+                    # transfer is the preprocessing bottleneck
+                    from styler_tpu.dsp.preprocess import preprocess_batch
+
+                    outs = preprocess_batch(
+                        config, [ld[0] for (_, _, _, ld) in chunk],
+                        frontend=frontend,
+                    )
+                    f0s = [o[2] for o in outs]
+                    mels = [(o[0], o[1]) for o in outs]
+                else:
+                    f0s = track_f0_batch(
+                        [ld[0] for (_, _, _, ld) in chunk],
+                        config.sampling_rate,
+                        config.hop_length,
+                        config.f0_min,
+                        config.f0_max,
+                        backend=f0_backend,
+                    )
             except Exception:
                 # One bad utterance (e.g. a wav shorter than the
                 # tracker's lag window) must not kill the corpus build:
                 # fall back to per-utterance tracking so only the bad
                 # one lands in errors[] (pre-chunking semantics).
                 f0s = []
+                mels = [None] * len(chunk)
                 for (_, _, basename, loaded) in chunk:
                     try:
                         f0s.append(
@@ -357,14 +378,16 @@ def build_from_path(in_dir: str, out_dir: str, config: Config,
                         )
                     except Exception:
                         f0s.append(None)
-            for (i, subdir, basename, loaded), f0 in zip(chunk, f0s):
+            for (i, subdir, basename, loaded), f0, me in zip(
+                chunk, f0s, mels
+            ):
                 if f0 is None:
                     errors.append(basename)
                     continue
                 try:
                     ret = process_utterance(
                         in_dir, out_dir, subdir, basename, config, frontend,
-                        loaded=loaded, f0=f0,
+                        loaded=loaded, f0=f0, mel_energy=me,
                     )
                 except Exception:
                     errors.append(basename)

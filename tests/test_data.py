@@ -182,6 +182,39 @@ def test_vctk_build_and_dataset_roundtrip(mini_corpus, monkeypatch):
     assert (b["log_d_target"] >= 0).all()
 
 
+def test_vctk_build_device_backend_matches_default(mini_corpus, tmp_path):
+    """build_from_path(f0_backend="device") — the fused one-dispatch
+    front end (dsp/preprocess.py) — writes the same mel/energy npys as
+    the default host path (bit-level mel parity; f0 may differ in the
+    documented end-of-signal frames, dsp/pitch_device.py docstring)."""
+    import shutil
+
+    from styler_tpu.data.vctk import build_from_path
+
+    in_dir, out_dir = mini_corpus
+    train, val = build_from_path(in_dir, out_dir, cfg)
+    out_dev = str(tmp_path / "dev" / "VCTK")
+    shutil.copytree(
+        os.path.join(out_dir, "TextGrid"), os.path.join(out_dev, "TextGrid")
+    )
+    train_d, val_d = build_from_path(in_dir, out_dev, cfg, f0_backend="device")
+    assert len(train_d) == len(train) and len(val_d) == len(val)
+    for sub in ("mel_clean", "energy", "f0"):
+        names = sorted(os.listdir(os.path.join(out_dir, sub)))
+        assert names == sorted(os.listdir(os.path.join(out_dev, sub)))
+        for n in names:
+            a = np.load(os.path.join(out_dir, sub, n))
+            b = np.load(os.path.join(out_dev, sub, n))
+            assert a.shape == b.shape, (sub, n)
+            if sub != "f0":
+                np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+            else:
+                # interior frames match the host tracker (end-of-signal
+                # deviation is documented); voiced agreement >= 95%
+                agree = np.mean((a > 0) == (b > 0))
+                assert agree >= 0.9, (n, agree)
+
+
 def test_prefetch_iterator():
     from styler_tpu.data.dataset import prefetch
 

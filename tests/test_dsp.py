@@ -311,3 +311,49 @@ def test_melfrontend_bucket_boundary_lengths():
         assert mel_b.shape == (80, F) and en_b.shape == (F,)
         mel_s, en_s = fe(w)
         np.testing.assert_allclose(mel_b, mel_s, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_preprocess_matches_separate_paths():
+    """dsp/preprocess.py (ONE program: mel + energy + f0, int16 upload)
+    matches the separate stages exactly: mel/energy == MelFrontend per
+    utterance, f0 == track_f0_batch(backend="device") — including a
+    bucket-boundary length with len % hop != 0 and a length that
+    overshoots (Fb-1)*hop (the +hop tail guard)."""
+    from styler_tpu.core.config import default_config
+    from styler_tpu.dsp import MelFrontend
+    from styler_tpu.dsp.pitch import track_f0_batch
+    from styler_tpu.dsp.preprocess import preprocess_batch
+
+    cfg = default_config()
+    fe = MelFrontend(cfg)
+    hop = fe.hop_length
+    rng = np.random.default_rng(3)
+    t = np.arange(45000) / cfg.sampling_rate
+    base = 0.4 * np.sin(2 * np.pi * 170 * t) + 0.02 * rng.standard_normal(
+        len(t)
+    )
+    pcm = np.round(base * 20000).astype(np.int16)
+    wavs = [
+        pcm[:22050],              # mid-bucket
+        pcm[: 31 * hop + 7],      # F == 32 bucket, len % hop != 0
+        pcm[: 31 * hop + hop - 1],  # overshoots (Fb-1)*hop: tail guard
+        pcm[:5000],               # small bucket
+    ]
+    fused = preprocess_batch(cfg, wavs, frontend=fe)
+    f0_ref = track_f0_batch(
+        [w.astype(np.float32) for w in wavs],
+        cfg.sampling_rate, hop, cfg.f0_min, cfg.f0_max, backend="device",
+    )
+    for w, (mel_f, en_f, f0_f), f0_r in zip(wavs, fused, f0_ref):
+        F = len(w) // hop + 1
+        assert mel_f.shape == (80, F) and en_f.shape == (F,)
+        assert f0_f.shape == (F,)
+        mel_s, en_s = fe(w.astype(np.float32) / cfg.max_wav_value)
+        np.testing.assert_allclose(mel_f, mel_s, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(en_f, en_s, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(f0_f, f0_r[:F], rtol=0, atol=1e-4)
+    # float PCM inputs with non-integer values go through unquantized
+    fl = (base[:22050] * 20000.5).astype(np.float32)
+    out_fl = preprocess_batch(cfg, [fl], frontend=fe)
+    mel_s, _ = fe(fl / cfg.max_wav_value)
+    np.testing.assert_allclose(out_fl[0][0], mel_s, rtol=1e-5, atol=1e-5)
