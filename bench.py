@@ -266,6 +266,41 @@ def bench_mix(cfg):
             run(i)
             i += 1
         best = min(best, (time.perf_counter() - t0) / iters)
+
+    # compute-only split (VERDICT r3 #5): same two dispatches, but the
+    # results are reduced to one scalar ON DEVICE and only that scalar is
+    # fetched — measuring the program without the host-link transfer of
+    # the 32 wavs/mels (the transfer dominates on the tunneled dev box;
+    # on non-tunneled hardware e2e approaches this number).
+    import jax
+    import jax.numpy as jnp
+
+    fence = jax.jit(
+        lambda *xs: sum(jnp.sum(x.astype(jnp.float32)) for x in xs)
+    )
+
+    def run_compute(i):
+        refs = tuple(
+            ReferenceFeatures(
+                mel=r.mel + i * 1e-6, f0_norm=r.f0_norm, energy01=r.energy01,
+                mel_len=r.mel_len,
+            )
+            for r in refs0
+        )
+        _, outs = synth._mix_device_outs(sentences, refs, (spk[0], spk[1]))
+        return float(fence(*outs))
+
+    run_compute(i)  # warm the fence program
+    i += 1
+    best_c = float("inf")
+    for _ in range(1 if _SMOKE else 3):
+        iters = 1 if _SMOKE else 2
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run_compute(i)
+            i += 1
+        best_c = min(best_c, (time.perf_counter() - t0) / iters)
+
     _emit(
         "mix_and_match_32combo_rtf",
         audio_sec / best,
@@ -274,6 +309,9 @@ def bench_mix(cfg):
             "wall_s_per_call": round(best, 3),
             "audio_sec_per_call": round(audio_sec, 2),
             "real_api": True,
+            "compute_only_rtf": round(audio_sec / best_c, 2),
+            "compute_only_wall_s": round(best_c, 3),
+            "fetch_s_per_call": round(max(best - best_c, 0.0), 3),
         },
     )
 

@@ -44,6 +44,8 @@ def main():
                         help="override monitoring cadence (cfg.synth_step)")
     parser.add_argument("--eval_step", type=int, default=None,
                         help="override val-eval cadence (cfg.eval_step)")
+    parser.add_argument("--save_step", type=int, default=None,
+                        help="override checkpoint cadence (cfg.save_step)")
     parser.add_argument("--bf16", action="store_true",
                         help="mixed precision: bf16 compute in the "
                              "matmul/conv-heavy model paths (params, "
@@ -73,6 +75,7 @@ def main():
     from styler_tpu.data.dataset import (
         Dataset,
         batch_iterator,
+        batches_per_epoch,
         prefetch,
         strip_host_fields,
     )
@@ -113,6 +116,8 @@ def main():
         cfg = cfg.replace(synth_step=args.synth_step)
     if args.eval_step:
         cfg = cfg.replace(eval_step=args.eval_step)
+    if args.save_step:
+        cfg = cfg.replace(save_step=args.save_step)
     if args.epochs:
         cfg = cfg.replace(epochs=args.epochs)
     if args.preprocessed:
@@ -181,17 +186,31 @@ def main():
         import jax.profiler
 
         jax.profiler.start_trace(os.path.join(log_path, "profile"))
+    # Mid-epoch resume determinism: a restored step maps to
+    # (start_epoch, offset) on the fixed per-epoch batch sequence, and the
+    # per-step dropout key is fold_in(seed_key, step) — a pure function of
+    # the step counter — so a resumed run reproduces the exact batch order
+    # AND rng stream of an uninterrupted one (tests/test_cli.py).
+    steps_in_epoch = batches_per_epoch(len(dataset), cfg, drop_last)
+    start_epoch, skip = divmod(current_step, max(steps_in_epoch, 1))
+    if current_step:
+        print(f"resuming at epoch {start_epoch}, batch offset {skip}")
+
     t_step = time.perf_counter()
     with jax.set_mesh(mesh):
         state = replicate_state(state, mesh)
-        for epoch in range(cfg.epochs):
-            for batch in prefetch(
-                batch_iterator(
-                    dataset, cfg, seed=cfg.seed, epoch=epoch, drop_last=drop_last
-                )
-            ):
+        for epoch in range(start_epoch, cfg.epochs):
+            it = batch_iterator(
+                dataset, cfg, seed=cfg.seed, epoch=epoch, drop_last=drop_last
+            )
+            if skip:
+                import itertools
+
+                it = itertools.islice(it, skip, None)
+                skip = 0
+            for batch in prefetch(it):
                 batch = shard_batch(strip_host_fields(batch), mesh, cfg)
-                rng, sub = jax.random.split(rng)
+                sub = jax.random.fold_in(rng, current_step)
                 state, metrics = step_fn(state, batch, sub)
                 current_step += 1
                 timer.tick()

@@ -152,6 +152,24 @@ def batch_iterator(
             yield pad_batch([pool[k] for k in cut], config)
 
 
+def batches_per_epoch(n: int, config: Config, drop_last: bool = True) -> int:
+    """Sub-batches one epoch of :func:`batch_iterator` yields for an
+    ``n``-example dataset — a pure function of (n, batch_size, drop_last)
+    since pooling/sorting/cutting only reorder within fixed-size pools.
+    Used for mid-epoch resume: a restored step maps to
+    (epoch, offset) = divmod(step, batches_per_epoch(...)) so training
+    continues on the exact batch sequence of an uninterrupted run."""
+    bs = config.batch_size
+    pool_size = bs * bs
+    total = 0
+    for start in range(0, n, pool_size):
+        m = min(pool_size, n - start)
+        if drop_last and m < pool_size:
+            break
+        total += m // bs if drop_last else -(-m // bs)
+    return total
+
+
 def strip_host_fields(batch: Dict) -> Dict:
     """Drop non-array fields before feeding the jitted step."""
     return {k: v for k, v in batch.items() if k != "id"}

@@ -811,6 +811,22 @@ class Synthesizer:
         Two dispatches total: one 4-row base encode (style modeling
         only; no decode — the mixed rows re-decode) + one 32-row mixed
         decode."""
+        titles, outs = self._mix_device_outs(
+            sentence_by_ref, refs, speaker_embeds
+        )
+        return self._unpack_results(titles, *outs)
+
+    def _mix_device_outs(
+        self,
+        sentence_by_ref: Tuple[str, str],
+        refs: Tuple[ReferenceFeatures, ReferenceFeatures],
+        speaker_embeds: Tuple[np.ndarray, np.ndarray],
+    ) -> Tuple[list, tuple]:
+        """The mix-and-match compute path without the host fetch of the
+        results: returns (titles, device output arrays). Split out so the
+        bench can fence the on-device compute separately from the
+        host-link transfer (the two are ~55/45 on the tunneled dev box —
+        TODO.md #4)."""
         cfg = self.config
         ids = [self.text_to_ids(s) for s in sentence_by_ref]
         # rows (text a, ref r) in order (0,0),(0,1),(1,0),(1,1)
@@ -834,7 +850,7 @@ class Synthesizer:
             enc["e"], enc["s"], enc["s_down"], src_mask, M_comb,
         )
         titles = [f"{comb:05b}" for comb in range(32)]
-        return self._unpack_results(titles, *outs)
+        return titles, outs
 
 
 def load_reference(

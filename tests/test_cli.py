@@ -278,3 +278,53 @@ def test_enable_persistent_cache(tmp_path, monkeypatch):
         assert not (tmp_path / "no").exists()
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_train_cli_mid_epoch_resume_determinism(corpus, monkeypatch):
+    """VERDICT r3 #7: restoring at step k reproduces the uninterrupted
+    run exactly — same batch order (epoch fast-forward + intra-epoch
+    offset) and same per-step rng (fold_in on the step counter), so the
+    final checkpoints match bitwise.
+
+    The 2-utterance train split at batch_size 1 gives 2 steps/epoch:
+    restore at step 3 lands mid-epoch (epoch 1, offset 1)."""
+    import shutil
+
+    monkeypatch.chdir(corpus)
+    sys.path.insert(0, "/root/repo")
+    from cli.train import main
+
+    def run(version, extra):
+        monkeypatch.setattr(
+            sys,
+            "argv",
+            ["train.py", "--preprocessed", "preprocessed",
+             "--batch_size", "1", "--version", version,
+             "--save_step", "3", "--max_steps", "5"] + extra,
+        )
+        main()
+
+    run("resume_a", [])
+    a_dir = os.path.join("ckpt", cfg.dataset, "resume_a")
+    assert os.path.isdir(os.path.join(a_dir, "3"))
+    assert os.path.isdir(os.path.join(a_dir, "5"))
+
+    # second version dir seeded with only the step-3 checkpoint
+    b_dir = os.path.join("ckpt", cfg.dataset, "resume_b")
+    os.makedirs(b_dir)
+    shutil.copytree(os.path.join(a_dir, "3"), os.path.join(b_dir, "3"))
+    run("resume_b", ["--restore_step", "3"])
+    assert os.path.isdir(os.path.join(b_dir, "5"))
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    a = ckptr.restore(os.path.abspath(os.path.join(a_dir, "5")))
+    b = ckptr.restore(os.path.abspath(os.path.join(b_dir, "5")))
+    import jax
+
+    leaves_a, treedef_a = jax.tree_util.tree_flatten(a)
+    leaves_b, treedef_b = jax.tree_util.tree_flatten(b)
+    assert treedef_a == treedef_b
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

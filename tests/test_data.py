@@ -329,3 +329,36 @@ def test_speaker_fallback_separates_speakers():
                 cents[s2] = c / np.linalg.norm(c)
             correct += max(cents, key=lambda k: float(e @ cents[k])) == s
     assert correct == 18, correct
+
+
+def test_batches_per_epoch_matches_iterator(monkeypatch):
+    """batches_per_epoch (the mid-epoch-resume position map) agrees with
+    an actual batch_iterator pass for every (n, bs, drop_last) corner
+    (pad_batch stubbed so fake items suffice)."""
+    from styler_tpu.core.config import default_config
+    from styler_tpu.data import dataset as dsmod
+
+    monkeypatch.setattr(dsmod, "pad_batch", lambda items, cfg: len(items))
+
+    class _Fake:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"text": np.zeros(3 + i % 5, np.int32)}
+
+    for n in (1, 2, 3, 4, 5, 8, 9, 16, 17, 31):
+        for bs in (1, 2, 3, 4):
+            for drop_last in (False, True):
+                cfg = default_config().replace(batch_size=bs)
+                got = dsmod.batches_per_epoch(n, cfg, drop_last)
+                count = sum(
+                    1
+                    for _ in dsmod.batch_iterator(
+                        _Fake(n), cfg, drop_last=drop_last
+                    )
+                )
+                assert got == count, (n, bs, drop_last, got, count)
