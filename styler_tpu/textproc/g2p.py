@@ -77,6 +77,10 @@ _CHUNKS = [
     ("ng", "NG"), ("nk", "NG K"), ("qu", "K W"), ("wr", "R"),
     ("kn", "N"), ("gn", "N"),
     ("mb", "M"), ("ps", "S"), ("sc", "S"),
+    ("ieu", "UW1"),  # French: lieu, adieu, lieutenant
+    ("eau", "OW1"),  # French: bureau, plateau, beau
+    ("cz", "Z"),     # Slavic onset: czar, czech
+    ("oup", "UW1 P"),  # soup, group, coupon (not the AW of 'out')
     ("oo", "UW1"), ("ee", "IY1"), ("ea", "IY1"), ("ai", "EY1"),
     ("ay", "EY1"), ("oa", "OW1"), ("ow", "OW1"), ("ou", "AW1"),
     ("oi", "OY1"), ("oy", "OY1"), ("au", "AO1"), ("aw", "AO1"),
@@ -194,6 +198,7 @@ _SUFFIX_PHONES = {
     "ful": ["F", "AH0", "L"],
     "less": ["L", "AH0", "S"],
     "ish": ["IH0", "SH"],
+    "some": ["S", "AH0", "M"],  # handsome, awesome, tiresome
     "en": ["AH0", "N"],
     "y": ["IY0"],
 }
@@ -301,18 +306,41 @@ class G2p:
                     return base + phones
 
         # French-origin endings regular enough to be rules: -ique is a
-        # stressed IY1 K (boutique, critique, oblique); a final -gue is
-        # a bare G (colleague, plague, dialogue)
+        # stressed IY1 K (boutique, critique, oblique), -igue a stressed
+        # IY1 G (fatigue, intrigue); any other final -gue is a bare G
+        # (colleague, plague, dialogue); -ette is a stressed EH1 T
+        # (cassette, brunette, silhouette)
         if len(word) > 5 and word.endswith("ique"):
-            base = [
-                p[:-1] + "0" if p[-1:] in "12" else p
-                for p in self._rules(word[:-4])
-            ]
-            return base + ["IY1", "K"]
+            return self._destress(self._rules(word[:-4])) + ["IY1", "K"]
+        if len(word) > 5 and word.endswith("igue"):
+            return self._destress(self._rules(word[:-4])) + ["IY1", "G"]
         if len(word) > 4 and word.endswith("gue"):
             return self._rules(word[:-3]) + ["G"]
+        if len(word) > 5 and word.endswith("ette"):
+            return self._destress(self._rules(word[:-4])) + ["EH1", "T"]
+        # English place-name -cester is a single ST ER0 syllable
+        # (Leicester, Gloucester, Worcester); as an ending rule because
+        # the soft-c rule would otherwise split it to S EH S T ER0
+        if len(word) > 6 and word.endswith("cester"):
+            return self._rules(word[:-6]) + ["S", "T", "ER0"]
+        # unstressed final -age is a reduced AH0 JH when the word has
+        # another syllable (village, message, mortgage, manage) — the
+        # magic-e path would wrongly give a hard g + long a. One-syllable
+        # -age words (stage, cage) keep the magic-e reading.
+        if (
+            len(word) > 4
+            and word.endswith("age")
+            and any(c in _VOWELS for c in word[:-3])
+        ):
+            return self._rules(word[:-3]) + ["AH0", "JH"]
 
         return self._rules(word)
+
+    @staticmethod
+    def _destress(phones: List[str]) -> List[str]:
+        """Demote every stress mark — used before appending a
+        primary-stressed French ending."""
+        return [p[:-1] + "0" if p[-1:] in "12" else p for p in phones]
 
     def _stem_rules(self, stem: str) -> List[str]:
         """Rule-engine pronunciation of a suffix-stripped stem, undoing
@@ -375,6 +403,12 @@ class G2p:
                 continue
             # collapse doubled consonants
             if ch == nxt and ch not in _VOWELS:
+                i += 1
+                continue
+            # word-final 'a' in a polysyllable is a schwa (sofa, asthma,
+            # banana) — not the AE of a closed syllable
+            if ch == "a" and i == n - 1 and any(c in _VOWELS for c in word[:i]):
+                phones.append("AH0")
                 i += 1
                 continue
             matched = False

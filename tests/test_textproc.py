@@ -320,17 +320,33 @@ def test_g2p_adversarial_holdout():
     these (the reference's neural g2p_en largely can); this test
     documents the shipped floor honestly rather than hiding it: the
     engine must still emit plausible, non-empty ARPAbet for every word
-    (serving never crashes on OOV), and the measured exact-match
-    accuracy is pinned so regressions and improvements are visible.
+    (serving never crashes on OOV), and the measured accuracy is pinned
+    so regressions and improvements are visible.
 
-    Measured 2026-08-19: 0/24 exact — these 24 are chosen precisely
-    because no letter-to-sound rule can produce them; the fix is lexicon
-    coverage (the most common irregulars ARE lexicon entries, see
-    test_g2p_irregular_words_resolved — this list is what remains
-    beyond it). If this number improves, raise the bound AND update
-    the PARITY.md G2P entry."""
+    Measured 2026-08-20 (after the loanword-ending rules: -ette/-igue/
+    -cester/-age/-some, ieu/eau/cz/oup chunks, final-a schwa): mean
+    PHONEME-level accuracy 0.53 (was 0.44 on 2026-08-19), 1/24 word-
+    exact (was 0/24). The gate below pins a ≥0.50 phoneme-accuracy
+    floor — a regression in the rule engine now fails loudly. Full
+    word-exact parity on these needs g2p_en's neural model; the
+    remaining misses are genuinely unruly (siobhan, gauge, depot). If
+    accuracy improves, raise the floor AND update the PARITY.md G2P
+    entry."""
     from styler_tpu.textproc.lexicon import LEXICON
     from styler_tpu.textproc.symbols import symbol_to_id as s2i
+
+    def lev(a, b):
+        d = np.zeros((len(a) + 1, len(b) + 1), int)
+        d[:, 0] = range(len(a) + 1)
+        d[0, :] = range(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i, j] = min(
+                    d[i - 1, j] + 1,
+                    d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[-1, -1]
 
     gold = {
         "lieutenant": "L UW0 T EH1 N AH0 N T",
@@ -361,16 +377,24 @@ def test_g2p_adversarial_holdout():
     g2p = G2p(auto=False)
     assert not any(w in LEXICON for w in gold), "holdout word in lexicon"
     hits = 0
+    phone_acc = 0.0
     for w, pron in gold.items():
         out = g2p(w)
         # never crash, never emit an unencodable symbol
         assert out, w
         assert all(f"@{p}" in s2i for p in out), (w, out)
         hits += " ".join(out) == pron
-    accuracy = hits / len(gold)
-    assert accuracy <= 0.5, (
-        f"adversarial accuracy now {accuracy:.2f} — congratulations; "
-        "raise the bound and update PARITY.md"
+        gp = pron.split()
+        phone_acc += max(0.0, 1.0 - lev(out, gp) / len(gp))
+    phone_acc /= len(gold)
+    assert phone_acc >= 0.50, (
+        f"adversarial phoneme-level accuracy regressed to {phone_acc:.3f} "
+        "(floor 0.50 measured 2026-08-20)"
+    )
+    assert hits >= 1, "word-exact floor (czar) regressed"
+    assert hits / len(gold) <= 0.5, (
+        f"adversarial exact accuracy now {hits / len(gold):.2f} — "
+        "congratulations; raise the bound and update PARITY.md"
     )
 
 
