@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -401,10 +402,17 @@ def bench_vocoder(cfg):
         accuracy cost quoted in detail: mel-domain MAE of the re-analyzed
         int8 waveform vs the bf16 fused reference on the same weights
         (tools/int8_vocoder_experiment.py is the standalone harness).
-    """
+
+    When trained generator assets exist (assets/vocoder/*.npz, exported
+    by tools/export_vocoder_asset.py from cli/train_vocoder.py runs),
+    both lines run on the TRAINED weights and the iSTFTNet line carries
+    a held-out quality number: mel-recon MAE of the re-analyzed
+    synthesized waveform vs ground-truth mels on the committed val
+    fixtures (assets/vocoder/val/)."""
     import jax
     import jax.numpy as jnp
 
+    from styler_tpu.core.checkpoint import load_vocoder_npz
     from styler_tpu.dsp import MelFrontend
     from styler_tpu.models import STYLER
     from styler_tpu.vocoder import make_generator
@@ -420,6 +428,39 @@ def bench_vocoder(cfg):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
     on_tpu = jax.default_backend() == "tpu"
     audio_sec = B * M * cfg.hop_length / cfg.sampling_rate
+
+    asset_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "assets", "vocoder")
+
+    def _val_fixture_quality(gen, gen_vars, label):
+        """Held-out quality: generator(gt mel) re-analyzed vs gt mel."""
+        val_dir = os.path.join(asset_dir, "val")
+        if not os.path.isdir(val_dir):
+            return None
+        from styler_tpu.data.audio_io import read_wav
+
+        fe = MelFrontend(cfg)
+        wavs = []
+        for f in sorted(os.listdir(val_dir)):
+            if f.endswith(".wav"):
+                audio, sr = read_wav(os.path.join(val_dir, f))
+                wavs.append(audio.astype(np.float32))
+        if not wavs:
+            return None
+        mels = [m.T for (m, _) in fe.batch(wavs)]
+        apply_jit = jax.jit(lambda v, m: gen.apply(v, m))
+        num = den = 0.0
+        for mel in mels:
+            F = mel.shape[0]
+            Fb = 64
+            while Fb < F:
+                Fb *= 2
+            mpad = np.pad(mel, ((0, Fb - F), (0, 0)))
+            wav_hat = np.asarray(apply_jit(gen_vars, jnp.asarray(mpad[None])))[0]
+            mel_hat, _ = fe(wav_hat[: F * cfg.hop_length])
+            num += float(np.abs(np.asarray(mel_hat).T[:F] - mel).sum())
+            den += mel.size
+        return round(num / den, 5)
 
     def run_variant(vocode, fused):
         @jax.jit
@@ -442,9 +483,14 @@ def bench_vocoder(cfg):
 
     # --- iSTFTNet head -------------------------------------------------
     igen = make_generator("iSTFTNet")
-    igen_vars = jax.jit(igen.init)(
-        jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.n_mel_channels))
-    )
+    i_asset = os.path.join(asset_dir, "istft_gen.npz")
+    i_trained = os.path.isfile(i_asset)
+    if i_trained:
+        igen_vars = {"params": load_vocoder_npz(i_asset)}
+    else:
+        igen_vars = jax.jit(igen.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.n_mel_channels))
+        )
     i_fused = on_tpu and generator_fused_supported(M, igen.config)
     vocode_i = (
         (lambda v, m: istft_apply_fused(
@@ -454,23 +500,38 @@ def bench_vocoder(cfg):
     )
     synth_i = run_variant(vocode_i, i_fused)
     dt = _time(lambda c: synth_i(variables, igen_vars, batch, c))
-    _emit(
-        "istft_single_rtf",
-        audio_sec / dt,
-        {
-            "batch": B,
-            "step_ms": round(dt * 1e3, 2),
-            "fused": i_fused,
-            "note": "random-init weights; speed line only — train the "
-            "head (cli/train_vocoder.py --arch istft) for quality",
-        },
-    )
+    detail = {
+        "batch": B,
+        "step_ms": round(dt * 1e3, 2),
+        "fused": i_fused,
+        "trained": i_trained,
+    }
+    if i_trained:
+        q = _val_fixture_quality(igen, igen_vars, "istft")
+        if q is not None:
+            detail["mel_recon_mae_valset"] = q
+        detail["note"] = (
+            "trained on-box (cli/train_vocoder.py --arch istft --mr_stft "
+            "--weight_norm, synthetic speech corpus); quality = held-out "
+            "mel-recon MAE on assets/vocoder/val"
+        )
+    else:
+        detail["note"] = (
+            "random-init weights; speed line only — train the head "
+            "(cli/train_vocoder.py --arch istft) for quality"
+        )
+    _emit("istft_single_rtf", audio_sec / dt, detail)
 
     # --- int8 MXU HiFi-GAN resblocks ------------------------------------
     hgen = make_generator("HiFi-GAN")
-    hgen_vars = jax.jit(hgen.init)(
-        jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.n_mel_channels))
-    )
+    h_asset = os.path.join(asset_dir, "hifigan_gen.npz")
+    h_trained = os.path.isfile(h_asset)
+    if h_trained:
+        hgen_vars = {"params": load_vocoder_npz(h_asset)}
+    else:
+        hgen_vars = jax.jit(hgen.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.n_mel_channels))
+        )
     q_fused = on_tpu and generator_fused_supported(M, hgen.config)
     vocode_q = (
         (lambda v, m: generator_apply_fused(
@@ -483,15 +544,35 @@ def bench_vocoder(cfg):
     dt = _time(lambda c: synth_q(variables, hgen_vars, batch, c))
 
     # quality cost: mel-domain MAE of int8 vs bf16-fused on the same
-    # weights and mel (re-analysis through the production MelFrontend)
+    # weights and mel (re-analysis through the production MelFrontend).
+    # With a trained asset, the probe mel is REAL (first val fixture) —
+    # random-init weight/mel distributions quantize differently.
     mel_mae = 0.0
     if q_fused:
         fe = MelFrontend(cfg)
-        mel_in = jnp.asarray(
-            np.random.default_rng(7).standard_normal(
-                (1, M, cfg.n_mel_channels)
-            ).astype(np.float32)
-        )
+        val_dir = os.path.join(asset_dir, "val")
+        fixture = None
+        if h_trained and os.path.isdir(val_dir):
+            from styler_tpu.data.audio_io import read_wav
+
+            wavs = sorted(
+                f for f in os.listdir(val_dir) if f.endswith(".wav")
+            )
+            if wavs:
+                audio, _ = read_wav(os.path.join(val_dir, wavs[0]))
+                m, _ = fe(audio.astype(np.float32))
+                m = np.asarray(m).T  # [F, 80]
+                fixture = np.pad(
+                    m, ((0, max(0, M - m.shape[0])), (0, 0))
+                )[:M]
+        if fixture is not None:
+            mel_in = jnp.asarray(fixture[None])
+        else:
+            mel_in = jnp.asarray(
+                np.random.default_rng(7).standard_normal(
+                    (1, M, cfg.n_mel_channels)
+                ).astype(np.float32)
+            )
         # jit both applies: eager execution costs one tunnel RPC per op
         # on this platform (CLAUDE.md) — seconds of avoidable wall time
         wav_ref = np.asarray(
@@ -512,10 +593,15 @@ def bench_vocoder(cfg):
             "batch": B,
             "step_ms": round(dt * 1e3, 2),
             "quantized": q_fused,
+            "trained": h_trained,
             "mel_mae_vs_bf16": round(mel_mae, 5),
-            "note": "opt-in via STYLER_TPU_INT8_VOCODER=1; random-init "
-            "weight distributions — re-measure MAE on a trained "
-            "generator before enabling by default",
+            "note": (
+                "opt-in via STYLER_TPU_INT8_VOCODER=1; MAE measured on "
+                + ("TRAINED weights + real fixture mel"
+                   if h_trained else
+                   "random-init weight distributions — re-measure on a "
+                   "trained generator")
+            ),
         },
     )
 

@@ -98,6 +98,50 @@ def load_vocoder_params(path: str):
     return ckptr.restore(os.path.abspath(path))["params"]
 
 
+def _flatten_tree(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten_tree(flat: dict) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return tree
+
+
+def save_vocoder_npz(path: str, params) -> None:
+    """Export generator params as ONE compressed .npz of float16 leaves —
+    a committable repo asset (≈4x smaller than the orbax f32 dir),
+    loadable with numpy alone (tools/export_vocoder_asset.py CLI)."""
+    import numpy as np
+
+    flat = {
+        k: np.asarray(v).astype(np.float16)
+        for k, v in _flatten_tree(params).items()
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_vocoder_npz(path: str):
+    """Inverse of :func:`save_vocoder_npz`: .npz -> f32 flax param tree."""
+    import numpy as np
+
+    with np.load(path) as z:
+        return _unflatten_tree({k: z[k].astype(np.float32) for k in z.files})
+
+
 def load_reference_checkpoint(path: str, config) -> Tuple[Any, Any]:
     """Load a reference ``checkpoint_<step>.pth.tar`` -> (params, batch_stats)."""
     import torch

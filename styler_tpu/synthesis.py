@@ -934,6 +934,11 @@ def load_synthesizer(
             from styler_tpu.core.checkpoint import load_vocoder_params
 
             vocoder_params = load_vocoder_params(vocoder_path)
+        elif vocoder_path.endswith(".npz"):
+            # committed repo asset (tools/export_vocoder_asset.py)
+            from styler_tpu.core.checkpoint import load_vocoder_npz
+
+            vocoder_params = load_vocoder_npz(vocoder_path)
         else:
             from styler_tpu.core.checkpoint import load_reference_vocoder
 

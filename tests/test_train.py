@@ -206,3 +206,29 @@ def test_param_sharding_rule():
     assert odd.spec == P()
     scalar = param_sharding_for((), mesh, cfg)
     assert scalar.spec == P()
+
+
+def test_vocoder_npz_asset_roundtrip(tmp_path):
+    """save_vocoder_npz/load_vocoder_npz: the committed-asset format
+    (f16 npz) round-trips the tree structure and values to f16
+    precision; load_synthesizer accepts the .npz path directly."""
+    import numpy as np
+
+    from styler_tpu.core.checkpoint import load_vocoder_npz, save_vocoder_npz
+
+    rng = np.random.default_rng(0)
+    params = {
+        "conv_pre": {"kernel": rng.standard_normal((7, 80, 32)).astype(np.float32),
+                     "bias": np.zeros(32, np.float32)},
+        "ups_0": {"kernel": rng.standard_normal((16, 32, 16)).astype(np.float32)},
+    }
+    path = str(tmp_path / "gen.npz")
+    save_vocoder_npz(path, params)
+    back = load_vocoder_npz(path)
+    assert set(back) == {"conv_pre", "ups_0"}
+    assert back["conv_pre"]["kernel"].dtype == np.float32
+    np.testing.assert_allclose(
+        back["conv_pre"]["kernel"], params["conv_pre"]["kernel"],
+        rtol=1e-3, atol=1e-3,
+    )
+    np.testing.assert_array_equal(back["conv_pre"]["bias"], 0.0)
