@@ -432,36 +432,6 @@ def bench_vocoder(cfg):
     asset_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "assets", "vocoder")
 
-    def _val_fixture_quality(gen, gen_vars, label):
-        """Held-out quality: generator(gt mel) re-analyzed vs gt mel."""
-        val_dir = os.path.join(asset_dir, "val")
-        if not os.path.isdir(val_dir):
-            return None
-        from styler_tpu.data.audio_io import read_wav
-
-        fe = MelFrontend(cfg)
-        wavs = []
-        for f in sorted(os.listdir(val_dir)):
-            if f.endswith(".wav"):
-                audio, sr = read_wav(os.path.join(val_dir, f))
-                wavs.append(audio.astype(np.float32))
-        if not wavs:
-            return None
-        mels = [m.T for (m, _) in fe.batch(wavs)]
-        apply_jit = jax.jit(lambda v, m: gen.apply(v, m))
-        num = den = 0.0
-        for mel in mels:
-            F = mel.shape[0]
-            Fb = 64
-            while Fb < F:
-                Fb *= 2
-            mpad = np.pad(mel, ((0, Fb - F), (0, 0)))
-            wav_hat = np.asarray(apply_jit(gen_vars, jnp.asarray(mpad[None])))[0]
-            mel_hat, _ = fe(wav_hat[: F * cfg.hop_length])
-            num += float(np.abs(np.asarray(mel_hat).T[:F] - mel).sum())
-            den += mel.size
-        return round(num / den, 5)
-
     def run_variant(vocode, fused):
         @jax.jit
         def synth(model_vars, voc_vars, batch, carry):
@@ -507,13 +477,23 @@ def bench_vocoder(cfg):
         "trained": i_trained,
     }
     if i_trained:
-        q = _val_fixture_quality(igen, igen_vars, "istft")
-        if q is not None:
-            detail["mel_recon_mae_valset"] = q
+        # quality numbers come from the committed eval record
+        # (tools/vocoder_eval.py on the held-out val split) rather than
+        # an in-bench recompute: the bench stays on programs already in
+        # the persistent compile cache
+        eval_json = os.path.join(asset_dir, "istft_eval.json")
+        if os.path.isfile(eval_json):
+            with open(eval_json) as f:
+                ev = json.load(f)
+            detail["mel_recon_mae_valset"] = ev["mel_recon_mae"]
+            detail["mel_recon_mae_random_init"] = ev.get(
+                "mel_recon_mae_random_init"
+            )
+            detail["mr_stft_valset"] = ev.get("mr_stft")
         detail["note"] = (
             "trained on-box (cli/train_vocoder.py --arch istft --mr_stft "
-            "--weight_norm, synthetic speech corpus); quality = held-out "
-            "mel-recon MAE on assets/vocoder/val"
+            "--weight_norm, 30k steps, synthetic speech corpus); quality "
+            "= held-out mel-recon MAE, see assets/vocoder/istft_eval.json"
         )
     else:
         detail["note"] = (
@@ -550,21 +530,14 @@ def bench_vocoder(cfg):
     mel_mae = 0.0
     if q_fused:
         fe = MelFrontend(cfg)
-        val_dir = os.path.join(asset_dir, "val")
+        # the real-mel probe input ships precomputed (val_mel.npy, the
+        # first val fixture's log-mel) so the bench adds no new mel
+        # front-end program shapes
+        mel_npy = os.path.join(asset_dir, "val_mel.npy")
         fixture = None
-        if h_trained and os.path.isdir(val_dir):
-            from styler_tpu.data.audio_io import read_wav
-
-            wavs = sorted(
-                f for f in os.listdir(val_dir) if f.endswith(".wav")
-            )
-            if wavs:
-                audio, _ = read_wav(os.path.join(val_dir, wavs[0]))
-                m, _ = fe(audio.astype(np.float32))
-                m = np.asarray(m).T  # [F, 80]
-                fixture = np.pad(
-                    m, ((0, max(0, M - m.shape[0])), (0, 0))
-                )[:M]
+        if h_trained and os.path.isfile(mel_npy):
+            m = np.load(mel_npy)
+            fixture = np.pad(m, ((0, max(0, M - m.shape[0])), (0, 0)))[:M]
         if fixture is not None:
             mel_in = jnp.asarray(fixture[None])
         else:

@@ -151,7 +151,9 @@ class Config:
     # ------------------------------------------------------------------
     @property
     def preprocessed_path(self) -> str:
-        return os.path.join(f"./{self.preprocessed_basedir}/", self.dataset)
+        # os.path.join (not an f-string) so an ABSOLUTE basedir is
+        # honored — "./" + "/abs/path" would silently turn relative
+        return os.path.join(".", self.preprocessed_basedir, self.dataset)
 
     def checkpoint_path(self) -> str:
         return os.path.join("./ckpt/", self.dataset, self.version)

@@ -22,7 +22,11 @@ import numpy as np
 from styler_tpu.core.config import Config
 from styler_tpu.data.audio_io import audioread, audiowrite
 from styler_tpu.data.textgrid import alignment_from_file
-from styler_tpu.dsp.features import energy_rescaling_np, speaker_normalization_np
+from styler_tpu.dsp.features import (
+    energy_rescaling_np,
+    f0_normalization_np,
+    speaker_normalization_np,
+)
 from styler_tpu.dsp.mel import MelFrontend
 from styler_tpu.dsp.pitch import get_f0, get_f0_noisy
 
@@ -103,7 +107,10 @@ def compute_aug_features(
         try:
             f0_norm = speaker_normalization_np(f0)
         except FloatingPointError:
-            f0_norm = speaker_normalization_np(f0_clean)
+            # reference noise_mixer.py:197-204 falls back to the clean
+            # f0; its last resort for degenerate clean f0 is the zeros
+            # guard of utils.f0_normalization (utils.py:400-407)
+            f0_norm = f0_normalization_np(f0_clean)
     return mel.T, f0, f0_norm, energy, energy_rescaled
 
 

@@ -62,8 +62,13 @@ def build_corpus(work, cfg, n_speakers=3, n_utts=40, band=(4000.0, 7000.0)):
         os.makedirs(os.path.join(out_dir, "TextGrid", spk), exist_ok=True)
         for i in range(n_utts):
             base = f"{spk}_{i:03d}"
-            wav = make_utterance(rng, f0, fscale, min_s=2.2, max_s=2.6)
-            wav = wav[: 2 * sr]  # exactly the TextGrid's 2 s span
+            # retry until the 2 s cut is meaningfully voiced — an
+            # all-unvoiced utterance has a degenerate f0 track
+            for _ in range(20):
+                wav = make_utterance(rng, f0, fscale, min_s=2.2, max_s=2.6)
+                wav = wav[: 2 * sr]  # exactly the TextGrid's 2 s span
+                if np.abs(wav).mean() > 0.01:
+                    break
             wavfile.write(
                 os.path.join(in_dir, spk, f"{base}.wav"), sr,
                 (np.clip(wav, -1, 1) * 32767).astype(np.int16),
