@@ -232,3 +232,39 @@ def test_vocoder_npz_asset_roundtrip(tmp_path):
         rtol=1e-3, atol=1e-3,
     )
     np.testing.assert_array_equal(back["conv_pre"]["bias"], 0.0)
+
+
+def test_dat_disentanglement_artifact():
+    """The recorded DAT/Residual-Decoding disentanglement demonstration
+    (tools/dat_demo.py, run on the real chip; reference train.py:140-160,
+    styler.py:51-55) upholds the paper's three emergent claims. The
+    artifact is committed at artifacts/dat_demo.json — regenerate with
+    `python tools/dat_demo.py` if the model/training code changes in a
+    way that could affect the adversarial dynamics."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "dat_demo.json",
+    )
+    if not os.path.isfile(path):
+        pytest.skip("dat_demo artifact not present in this checkout")
+    with open(path) as f:
+        rec = json.load(f)
+    g = rec["gates"]
+    # every gate is a trailing mean over the last probes — adversarial
+    # training fluctuates probe-to-probe
+    # (a) adversarial equilibrium: aug classifiers end below their early
+    # peak — the GRL pushed the encodings back toward noise-invariance
+    assert g["dat_acc_tail"] < g["dat_acc_peak"] - 0.05
+    # (b) denoising: in the mel bins the injected noise occupies, the
+    # clean decode of noisy-reference inputs lands closer to the clean
+    # target than to the noisy mel it was fed
+    assert g["denoise_band_margin_tail"] > 0
+    # (c) the injected noise signature lands in the residual branch
+    # (mel_postnet_noisy - mel_postnet correlates with mel_aug - mel)
+    assert g["residual_corr_tail"] > 0.8
+    # trajectory is a real training run, not a stub
+    assert rec["config"]["steps"] >= 2000
+    assert len(rec["trajectory"]) >= 10
