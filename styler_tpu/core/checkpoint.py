@@ -89,7 +89,10 @@ def save_vocoder_params(out_dir: str, step: int, params) -> str:
 
 def load_vocoder_params(path: str):
     """Load params saved by save_vocoder_params. A parent directory of
-    numbered steps resolves to the latest step."""
+    numbered steps resolves to the latest step; a committed ``.npz``
+    asset (save_vocoder_npz) loads directly."""
+    if path.endswith(".npz"):
+        return load_vocoder_npz(path)
     if os.path.isdir(path) and not os.path.basename(path).isdigit():
         step = latest_step(path)
         if step is not None:
