@@ -67,8 +67,11 @@ _CHUNKS = [
     ("tious", "SH AH0 S"), ("geous", "JH AH0 S"), ("gious", "JH AH0 S"),
     ("ought", "AO1 T"), ("aught", "AO1 T"), ("ould", "UH1 D"),
     ("old", "OW1 L D"), ("olt", "OW1 L T"), ("ild", "AY1 L D"),
+    ("sthm", "S M"),  # th silent in the sthm cluster: asthma, isthmus
     ("eigh", "EY1"), ("tch", "CH"), ("dge", "JH"), ("dg", "JH"),
     ("igh", "AY1"),
+    ("ei", "EY1"),   # single vowel, not e+i: vein, reign, beige, feint
+    ("lh", "L"),     # h silent after l: silhouette, Delhi
     ("sure", "ZH ER0"), ("ture", "CH ER0"), ("ophe", "AH0 F IY0"),
     ("augh", "AO1"), ("ough", "AH1 F"),
     ("ook", "UH1 K"), ("air", "EH1 R"), ("ear", "IY1 R"), ("eer", "IY1 R"),
@@ -299,10 +302,16 @@ class G2p:
                 stem = word[: -len(suf)]
                 if suf == "y" and stem[-1] in "aeiou":
                     continue  # tray/play: the y is part of a diphthong
+                if suf == "er" and word.endswith("cester"):
+                    break  # place-name -cester is not agentive -er;
+                    # fall through to the ending rule below
                 base = self._stem_phones(stem)
                 if base is None and suf in ("ing", "er", "est", "en", "y"):
                     base = self._stem_rules(stem)
                 if base is not None:
+                    if suf == "some" and base[-2:] == ["N", "D"]:
+                        # d-deletion in the nd+s cluster (handsome)
+                        base = base[:-1]
                     return base + phones
 
         # French-origin endings regular enough to be rules: -ique is a
@@ -317,7 +326,15 @@ class G2p:
         if len(word) > 4 and word.endswith("gue"):
             return self._rules(word[:-3]) + ["G"]
         if len(word) > 5 and word.endswith("ette"):
-            return self._destress(self._rules(word[:-4])) + ["EH1", "T"]
+            stem = word[:-4]
+            if stem.endswith("ou"):
+                # French hiatus ou = UW before -ette (silhouette,
+                # pirouette), not the native AW of 'out'
+                return (
+                    self._destress(self._rules(stem[:-2]))
+                    + ["UW0", "EH1", "T"]
+                )
+            return self._destress(self._rules(stem)) + ["EH1", "T"]
         # English place-name -cester is a single ST ER0 syllable
         # (Leicester, Gloucester, Worcester); as an ending rule because
         # the soft-c rule would otherwise split it to S EH S T ER0
@@ -339,8 +356,11 @@ class G2p:
     @staticmethod
     def _destress(phones: List[str]) -> List[str]:
         """Demote every stress mark — used before appending a
-        primary-stressed French ending."""
-        return [p[:-1] + "0" if p[-1:] in "12" else p for p in phones]
+        primary-stressed French ending. A demoted short-a reduces to
+        schwa, the general English pre-tonic reduction (cassette
+        K AH0 S EH1 T, fatigue F AH0 T IY1 G)."""
+        out = [p[:-1] + "0" if p[-1:] in "12" else p for p in phones]
+        return ["AH0" if p == "AE0" else p for p in out]
 
     def _stem_rules(self, stem: str) -> List[str]:
         """Rule-engine pronunciation of a suffix-stripped stem, undoing

@@ -323,15 +323,16 @@ def test_g2p_adversarial_holdout():
     (serving never crashes on OOV), and the measured accuracy is pinned
     so regressions and improvements are visible.
 
-    Measured 2026-08-20 (after the loanword-ending rules: -ette/-igue/
-    -cester/-age/-some, ieu/eau/cz/oup chunks, final-a schwa): mean
-    PHONEME-level accuracy 0.53 (was 0.44 on 2026-08-19), 1/24 word-
-    exact (was 0/24). The gate below pins a ≥0.50 phoneme-accuracy
-    floor — a regression in the rule engine now fails loudly. Full
-    word-exact parity on these needs g2p_en's neural model; the
-    remaining misses are genuinely unruly (siobhan, gauge, depot). If
-    accuracy improves, raise the floor AND update the PARITY.md G2P
-    entry."""
+    Measured 2026-08-20 pm (after the silent-cluster chunks sthm/lh/ei,
+    the -cester-vs-agentive-er fix, pre-tonic AE0->AH0 reduction in
+    destressed French-ending stems, nd+some d-deletion, and -ouette):
+    mean PHONEME-level accuracy 0.578 (0.53 am, 0.44 on 2026-08-19),
+    3/24 word-exact (czar, handsome, fatigue; was 1/24). The gate below
+    pins a ≥0.55 phoneme-accuracy floor — a regression in the rule
+    engine now fails loudly. Full word-exact parity on these needs
+    g2p_en's neural model; the remaining misses are genuinely unruly
+    (siobhan, gauge, depot). If accuracy improves, raise the floor AND
+    update the PARITY.md G2P entry."""
     from styler_tpu.textproc.lexicon import LEXICON
     from styler_tpu.textproc.symbols import symbol_to_id as s2i
 
@@ -387,11 +388,11 @@ def test_g2p_adversarial_holdout():
         gp = pron.split()
         phone_acc += max(0.0, 1.0 - lev(out, gp) / len(gp))
     phone_acc /= len(gold)
-    assert phone_acc >= 0.50, (
+    assert phone_acc >= 0.55, (
         f"adversarial phoneme-level accuracy regressed to {phone_acc:.3f} "
-        "(floor 0.50 measured 2026-08-20)"
+        "(floor 0.55 measured 2026-08-20)"
     )
-    assert hits >= 1, "word-exact floor (czar) regressed"
+    assert hits >= 3, "word-exact floor (czar, handsome, fatigue) regressed"
     assert hits / len(gold) <= 0.5, (
         f"adversarial exact accuracy now {hits / len(gold):.2f} — "
         "congratulations; raise the bound and update PARITY.md"
