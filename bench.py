@@ -53,7 +53,7 @@ def _example_batch(cfg, B, L, M, seed=0):
     )
 
 
-def _make_vocode(gen, mel_frames):
+def _make_vocode(gen, mel_frames, arch="HiFi-GAN"):
     """(vocode_fn, fused: bool) — gen.apply routed through the fused
     Pallas resblock path on TPU (same dispatch rule as
     synthesis.Synthesizer._vocode)."""
@@ -67,6 +67,15 @@ def _make_vocode(gen, mel_frames):
     if jax.default_backend() == "tpu" and generator_fused_supported(
         mel_frames, gen.config
     ):
+        if arch == "iSTFTNet":
+            from styler_tpu.vocoder.istft_net import istft_apply_fused
+
+            return (
+                lambda v, m: istft_apply_fused(
+                    v, m, gen.config, compute_dtype=gen.compute_dtype
+                ),
+                True,
+            )
         return (
             lambda v, m: generator_apply_fused(
                 v, m, gen.config, compute_dtype=gen.compute_dtype
@@ -81,14 +90,29 @@ def _build(cfg, B, L, M):
     import jax.numpy as jnp
 
     from styler_tpu.models import STYLER
-    from styler_tpu.vocoder import Generator
+    from styler_tpu.synthesis import default_vocoder_asset
+    from styler_tpu.vocoder import make_generator
 
     batch = _example_batch(cfg, B, L, M)
     model = STYLER(cfg)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
-    gen = Generator()
-    gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
-    vocode, fused = _make_vocode(gen, M)
+    # serving-default vocoder resolution (synthesis.load_synthesizer rule
+    # 2): the trained iSTFTNet asset when committed, else cfg.vocoder;
+    # trained weights whenever an asset matches the arch
+    arch = cfg.vocoder
+    if arch == "HiFi-GAN" and default_vocoder_asset("iSTFTNet"):
+        arch = "iSTFTNet"
+    gen = make_generator(arch)
+    asset = default_vocoder_asset(arch)
+    if asset:
+        from styler_tpu.core.checkpoint import load_vocoder_npz
+
+        gen_vars = {"params": load_vocoder_npz(asset)}
+    else:
+        gen_vars = jax.jit(gen.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, 80))
+        )
+    vocode, fused = _make_vocode(gen, M, arch)
 
     @jax.jit
     def synth(model_vars, voc_vars, batch, carry):
@@ -161,12 +185,20 @@ def _time(fn, iters=10):
     return best
 
 
+#: every _emit records (metric, value, vs_baseline) here so main can
+#: print one compact all-metrics summary as the FINAL line — the
+#: driver's BENCH_r*.json keeps only the last ~4 KB of output, which
+#: used to truncate the early (headline) lines of a full-matrix run
+_EMITTED = []
+
+
 def _emit(metric, rtf, detail):
     import jax
 
     detail["device"] = str(jax.devices()[0])
     if _SMOKE:
         detail["smoke"] = True
+    _EMITTED.append((metric, round(rtf, 2), round(rtf / 50.0, 3)))
     print(
         json.dumps(
             {
@@ -801,6 +833,25 @@ def main():
     }
     for name in runners if args.config == "all" else [args.config]:
         runners[name]()
+
+    if len(_EMITTED) > 1:
+        # compact full-matrix recap as the final line (detail-free so it
+        # always fits in the driver's 4 KB output tail); value/vs_baseline
+        # echo the first emitted line — the headline single-sentence RTF
+        # on a full-matrix run (units differ across lines; see "all")
+        print(
+            json.dumps(
+                {
+                    "metric": "summary",
+                    "value": _EMITTED[0][1],
+                    "unit": "x_realtime_per_chip",
+                    "vs_baseline": _EMITTED[0][2],
+                    "all": {m: v for m, v, _ in _EMITTED},
+                    "smoke": _SMOKE,
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

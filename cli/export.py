@@ -63,10 +63,9 @@ def main() -> None:
         cfg = cfg.replace(src_buckets=tuple(args.src_buckets))
     if args.mel_buckets:
         cfg = cfg.replace(mel_buckets=tuple(args.mel_buckets))
-    if args.vocoder:
-        cfg = cfg.replace(vocoder=args.vocoder)
 
-    synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt)
+    synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt,
+                             vocoder_arch=args.vocoder)
     t0 = time.perf_counter()
     manifest = save_serving_bundle(
         synth,

@@ -113,15 +113,14 @@ def main() -> None:
         cfg = cfg.replace(src_buckets=tuple(args.src_buckets))
     if args.mel_buckets:
         cfg = cfg.replace(mel_buckets=tuple(args.mel_buckets))
-    if args.vocoder:
-        cfg = cfg.replace(vocoder=args.vocoder)
 
     if args.bundle:
         from styler_tpu.core.export import BundleSynthesizer
 
         synth = BundleSynthesizer(args.bundle, cfg)
     else:
-        synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt)
+        synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt,
+                             vocoder_arch=args.vocoder)
     os.makedirs(args.outdir, exist_ok=True)
 
     if args.warmup:

@@ -84,10 +84,9 @@ def main():
         cfg = cfg.replace(src_buckets=tuple(args.src_buckets))
     if args.mel_buckets:
         cfg = cfg.replace(mel_buckets=tuple(args.mel_buckets))
-    if args.vocoder:
-        cfg = cfg.replace(vocoder=args.vocoder)
 
-    synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt)
+    synth = load_synthesizer(cfg, args.ckpt, args.vocoder_ckpt,
+                             vocoder_arch=args.vocoder)
     outdir = args.outdir or cfg.test_path()
     os.makedirs(outdir, exist_ok=True)
 
@@ -148,7 +147,7 @@ def main():
             e_control=args.energy_control,
         )
         for i, (sentence, r) in enumerate(zip(todo, results)):
-            stem = f"{i}_{cfg.vocoder}_{sentence[:10].replace(' ', '_')}"
+            stem = f"{i}_{synth.config.vocoder}_{sentence[:10].replace(' ', '_')}"
             audiowrite(r["wav"], cfg.sampling_rate, os.path.join(outdir, stem + ".wav"))
             audiowrite(r["wav_noisy"], cfg.sampling_rate,
                        os.path.join(outdir, stem + "_noisy.wav"))
@@ -171,7 +170,7 @@ def main():
             args.duration_control, args.pitch_control, args.energy_control,
         )
         dt = time.perf_counter() - t0
-        stem = f"{i}_{cfg.vocoder}_{sentence[:10].replace(' ', '_')}"
+        stem = f"{i}_{synth.config.vocoder}_{sentence[:10].replace(' ', '_')}"
         audiowrite(r["wav"], cfg.sampling_rate, os.path.join(outdir, stem + ".wav"))
         audiowrite(r["wav_noisy"], cfg.sampling_rate,
                    os.path.join(outdir, stem + "_noisy.wav"))

@@ -52,16 +52,15 @@ def main():
                              "norms, LSTMs, losses, optimizer stay f32)")
     args = parser.parse_args()
 
-    # XLA:TPU's space-to-batch pass crashes on the backprop convs at small
-    # batch sizes (see core/xla_flags.py). It is also a small-batch conv
-    # OPTIMIZATION, so only disable it where the crash bites — keeping the
-    # 4x inference speedup it provides elsewhere. The conv batch is the
-    # MICRObatch under gradient accumulation, so accumulation composes
-    # with the workaround (batch 16 / acc_steps 4 -> conv batch 4).
-    if (args.batch_size or 16) // (args.acc_steps or 1) < 8:
-        from styler_tpu.core.xla_flags import apply_workarounds
+    # XLA:TPU's space-to-batch pass crashes on the backprop convs — at
+    # small conv batches AND at batch 16 over the short 64-frame mel
+    # bucket (see core/xla_flags.py), so the trigger is conv spatial
+    # size vs batch, not batch alone. The pass only matters as a B=1
+    # INFERENCE optimization (~4x); this CLI is training-only, so
+    # disable it unconditionally rather than keying on the microbatch.
+    from styler_tpu.core.xla_flags import apply_workarounds
 
-        apply_workarounds()
+    apply_workarounds()
 
     import jax
     import numpy as np
@@ -332,9 +331,21 @@ def _make_monitor_vocoder(cfg, vocoder_ckpt=None):
 
             variables = {"params": load_reference_vocoder(vocoder_ckpt, cfg.vocoder)}
     else:
-        variables = jax.jit(gen.init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.n_mel_channels))
-        )
+        # no explicit vocoder: prefer the committed trained asset so the
+        # synth_step audio panels are listenable (random init only when
+        # no asset matches the arch)
+        from styler_tpu.synthesis import default_vocoder_asset
+
+        asset = default_vocoder_asset(cfg.vocoder)
+        if asset:
+            from styler_tpu.core.checkpoint import load_vocoder_npz
+
+            variables = {"params": load_vocoder_npz(asset)}
+            print(f"monitor vocoder: trained {cfg.vocoder} asset {asset}")
+        else:
+            variables = jax.jit(gen.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.n_mel_channels))
+            )
 
     @jax.jit
     def vocode(mel):

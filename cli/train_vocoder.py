@@ -55,6 +55,12 @@ def main() -> None:
     parser.add_argument("--max_files", type=int, default=None)
     args = parser.parse_args()
 
+    # training-only CLI: disable the space-to-batch pass unconditionally
+    # (core/xla_flags.py — the crash is not purely batch-keyed)
+    from styler_tpu.core.xla_flags import apply_workarounds
+
+    apply_workarounds()
+
     import numpy as np
 
     import jax

@@ -134,9 +134,22 @@ def preprocess_batch(
 
     out = [None] * len(wavs)
     for (Fb, _), idxs in groups.items():
-        stack = jnp.asarray(np.stack([prepped[i][0] for i in idxs]))
+        # Pad the batch axis to the next power of two: group sizes vary
+        # with the corpus's length mix, and every distinct (batch, Fb)
+        # pair is otherwise a fresh multi-minute compile over the axon
+        # tunnel. Pow-2 padding caps the program count at
+        # log2(chunk) per frame bucket, all persistently cached.
+        B = len(idxs)
+        Bp = 1
+        while Bp < B:
+            Bp *= 2
+        rows = [prepped[i][0] for i in idxs]
+        rows += [np.zeros_like(rows[0])] * (Bp - B)
+        stack = jnp.asarray(np.stack(rows))
         n_real = jnp.asarray(
-            np.asarray([prepped[i][2] for i in idxs], np.int32)
+            np.asarray(
+                [prepped[i][2] for i in idxs] + [hop] * (Bp - B), np.int32
+            )
         )
         mel, energy, f0 = _fused_padded(
             stack, n_real, fe.window, fe.mel_basis, Fb,

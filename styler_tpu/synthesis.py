@@ -899,16 +899,64 @@ def load_reference(
     return ref, np.asarray(speaker_embed, dtype=np.float32)
 
 
+#: committed trained generator assets (cli/train_vocoder.py →
+#: tools/export_vocoder_asset.py), keyed by config.vocoder arch name
+_VOCODER_ASSET_FILES = {"iSTFTNet": "istft_gen.npz", "HiFi-GAN": "hifigan_gen.npz"}
+
+
+def default_vocoder_asset(arch: str) -> Optional[str]:
+    """Path to the committed trained generator for ``arch``, or None."""
+    fname = _VOCODER_ASSET_FILES.get(arch)
+    if not fname:
+        return None
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "vocoder", fname,
+    )
+    return path if os.path.exists(path) else None
+
+
 def load_synthesizer(
     config: Config,
     ckpt_path: Optional[str] = None,
     vocoder_path: Optional[str] = None,
+    vocoder_arch: Optional[str] = None,
 ) -> Synthesizer:
     """Build a Synthesizer from a reference ``.pth.tar``, an orbax dir, or
-    fresh random weights."""
+    fresh random weights.
+
+    Vocoder resolution mirrors the reference's contract that serving
+    always gets REAL pretrained vocoder weights (reference
+    utils.py:250-262 loads the universal HiFi-GAN unconditionally):
+
+    1. explicit ``vocoder_path`` → loaded for ``vocoder_arch`` or
+       ``config.vocoder`` (orbax dir / repo ``.npz`` asset / torch
+       ``.pth.tar``);
+    2. no path → the committed trained asset in ``assets/vocoder/``
+       matching the arch. When the caller did not pin an arch
+       (``vocoder_arch=None``) and the acoustic weights are NOT a
+       reference torch checkpoint, the arch defaults to the trained
+       iSTFTNet — both faster (~2x single-sentence e2e) and better on
+       held-out mel MAE than the trained HiFi-GAN
+       (assets/vocoder/*_eval.json). Reference ``.pth.tar`` checkpoints
+       keep HiFi-GAN for parity with the published model.
+    3. ``vocoder_path="random"`` → random-init generator weights; the
+       explicit escape hatch for tests/experiments (never the default).
+    """
     import jax
 
-    if ckpt_path and ckpt_path.endswith((".pth.tar", ".pth", ".tar")):
+    from_reference_ckpt = bool(ckpt_path) and ckpt_path.endswith(
+        (".pth.tar", ".pth", ".tar")
+    )
+    if vocoder_arch:
+        config = config.replace(vocoder=vocoder_arch)
+    elif vocoder_path is None and not from_reference_ckpt:
+        # natively-served default: promote the trained iSTFTNet asset
+        # when we own one (see docstring, resolution rule 2)
+        if default_vocoder_asset("iSTFTNet"):
+            config = config.replace(vocoder="iSTFTNet")
+
+    if from_reference_ckpt:
         from styler_tpu.core.checkpoint import load_reference_checkpoint
 
         params, batch_stats = load_reference_checkpoint(ckpt_path, config)
@@ -928,7 +976,12 @@ def load_synthesizer(
         batch_stats = variables.get("batch_stats", {})
 
     vocoder_params = None
-    if vocoder_path and os.path.exists(vocoder_path):
+    if vocoder_path == "random":
+        _log.info("vocoder: random-init %s generator (explicit escape hatch)",
+                  config.vocoder)
+    elif vocoder_path:
+        if not os.path.exists(vocoder_path):
+            raise FileNotFoundError(f"vocoder checkpoint: {vocoder_path}")
         if os.path.isdir(vocoder_path):
             # natively-trained generator (cli/train_vocoder.py, orbax dir)
             from styler_tpu.core.checkpoint import load_vocoder_params
@@ -944,5 +997,19 @@ def load_synthesizer(
 
             vocoder_params = load_reference_vocoder(
                 vocoder_path, config.vocoder
+            )
+    else:
+        asset = default_vocoder_asset(config.vocoder)
+        if asset:
+            from styler_tpu.core.checkpoint import load_vocoder_npz
+
+            vocoder_params = load_vocoder_npz(asset)
+            _log.info("vocoder: loaded trained %s asset %s",
+                      config.vocoder, asset)
+        else:
+            _log.warning(
+                "vocoder: no trained %s asset committed and no "
+                "vocoder_path given — using RANDOM-INIT generator "
+                "weights (audio will be noise)", config.vocoder,
             )
     return Synthesizer(config, params, batch_stats, vocoder_params)

@@ -35,9 +35,92 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 from styler_tpu.textproc.lexicon import LEXICON as _LEXICON
+
+
+def _apply_rhythm(phones: List[str]) -> List[str]:
+    """English rhythm rule: a word whose PRIMARY stress falls on its
+    last vowel, with at least two vowels before it, carries an initial
+    SECONDARY stress (silhouette S IH2 L UW0 EH1 T, guarantee
+    G EH2 R AH0 N T IY1, violin V AY2 AH0 L IH1 N). Applied to
+    rule-derived pronunciations only — lexicon entries carry gold
+    stress."""
+    vowel_idx = [i for i, p in enumerate(phones) if p[-1:].isdigit()]
+    if len(vowel_idx) >= 3 and phones[vowel_idx[-1]].endswith("1"):
+        first = phones[vowel_idx[0]]
+        if first.endswith("0") and first != "AH0":
+            phones = list(phones)
+            phones[vowel_idx[0]] = first[:-1] + "2"
+    return phones
+
+
+def _renormalize_after_corrections(orig, corrected):
+    """Stress repair after the LTS correction pass. If a correction
+    replaced the span that carried the word's primary stress with an
+    unstressed vowel (reduction rules are trained on demoted copies of
+    the same letters — collect vs colleague), restore the primary to
+    THAT segment before the usual one-primary normalization; otherwise
+    the promote-first-vowel fallback would stress the wrong syllable."""
+    if any(p.endswith("1") for _, _, ph in corrected for p in ph):
+        return _normalize_stress_segs(corrected)
+    prim_seg = None
+    for k, (_, _, ph) in enumerate(orig):
+        if any(p.endswith("1") for p in ph):
+            prim_seg = k
+            break
+    if prim_seg is not None:
+        # a reduction on the primary syllable means the stress belongs
+        # LATER in the word (collect-class teachers: K AH0 L EH1 K T) —
+        # promote the first vowel after the reduced segment, falling
+        # back to the segment itself, then to the normalizer's default
+        for k in list(range(prim_seg + 1, len(corrected))) + [prim_seg]:
+            i0, i1, ph = corrected[k]
+            for j, p in enumerate(ph):
+                if p[-1:].isdigit():
+                    ph = tuple(
+                        pp[:-1] + "1" if jj == j else pp
+                        for jj, pp in enumerate(ph)
+                    )
+                    corrected = list(corrected)
+                    corrected[k] = (i0, i1, ph)
+                    return _normalize_stress_segs(corrected)
+    return _normalize_stress_segs(corrected)
+
+
+def _normalize_stress_segs(segs):
+    """One primary stress per word, applied across a (span → phones)
+    trace: demote every primary after the first; if none survives,
+    promote the first vowel (fern F ER1 N, not F ER0 N)."""
+    out = []
+    seen_primary = False
+    any_vowel_at = None
+    flat_idx = 0
+    for (i0, i1, ph) in segs:
+        np_ = []
+        for p in ph:
+            if p.endswith("1"):
+                if seen_primary:
+                    p = p[:-1] + "0"
+                seen_primary = True
+            if p[-1:].isdigit() and any_vowel_at is None:
+                any_vowel_at = flat_idx
+            np_.append(p)
+            flat_idx += 1
+        out.append((i0, i1, tuple(np_)))
+    if not seen_primary and any_vowel_at is not None:
+        k = 0
+        for s, (i0, i1, ph) in enumerate(out):
+            if k + len(ph) > any_vowel_at:
+                j = any_vowel_at - k
+                ph = tuple(
+                    p[:-1] + "1" if idx == j else p for idx, p in enumerate(ph)
+                )
+                out[s] = (i0, i1, ph)
+                break
+            k += len(ph)
+    return out
 
 # Lexicon files probed (in order) by G2p() when no explicit path is
 # given; the first existing paths are all loaded (later files do not
@@ -67,10 +150,13 @@ _CHUNKS = [
     ("tious", "SH AH0 S"), ("geous", "JH AH0 S"), ("gious", "JH AH0 S"),
     ("ought", "AO1 T"), ("aught", "AO1 T"), ("ould", "UH1 D"),
     ("old", "OW1 L D"), ("olt", "OW1 L T"), ("ild", "AY1 L D"),
-    ("sthm", "S M"),  # th silent in the sthm cluster: asthma, isthmus
+    ("sthm", "Z M"),  # th silent, s voiced: asthma, asthmatic
+                      # (isthmus keeps S — lexicon exception)
     ("eigh", "EY1"), ("tch", "CH"), ("dge", "JH"), ("dg", "JH"),
+    ("tg", "G"),     # t silent in the tg cluster: mortgage
+    ("pb", "B"),     # p silent in the pb cluster: cupboard, clapboard
     ("igh", "AY1"),
-    ("ei", "EY1"),   # single vowel, not e+i: vein, reign, beige, feint
+    ("ei", "EY1"),   # context-dependent: see the 'ei' case in _rules
     ("lh", "L"),     # h silent after l: silhouette, Delhi
     ("sure", "ZH ER0"), ("ture", "CH ER0"), ("ophe", "AH0 F IY0"),
     ("augh", "AO1"), ("ough", "AH1 F"),
@@ -217,6 +303,11 @@ class G2p:
         # generic dictionaries do not (their entries are context-free,
         # which is exactly what the heteronym layer corrects).
         self._explicit: set = set()
+        # induced letter-to-sound correction pass (textproc/lts.py);
+        # None when the generated table is absent or STYLER_TPU_NO_LTS=1
+        from styler_tpu.textproc.lts import load_default as _load_lts
+
+        self.lts = _load_lts()
         env_path = os.environ.get("STYLER_TPU_LEXICON", "")
         if cmudict_path:
             self.load_cmudict(cmudict_path)
@@ -320,9 +411,13 @@ class G2p:
         # (colleague, plague, dialogue); -ette is a stressed EH1 T
         # (cassette, brunette, silhouette)
         if len(word) > 5 and word.endswith("ique"):
-            return self._destress(self._rules(word[:-4])) + ["IY1", "K"]
+            return _apply_rhythm(
+                self._destress(self._rules(word[:-4])) + ["IY1", "K"]
+            )
         if len(word) > 5 and word.endswith("igue"):
-            return self._destress(self._rules(word[:-4])) + ["IY1", "G"]
+            return _apply_rhythm(
+                self._destress(self._rules(word[:-4])) + ["IY1", "G"]
+            )
         if len(word) > 4 and word.endswith("gue"):
             return self._rules(word[:-3]) + ["G"]
         if len(word) > 5 and word.endswith("ette"):
@@ -330,11 +425,13 @@ class G2p:
             if stem.endswith("ou"):
                 # French hiatus ou = UW before -ette (silhouette,
                 # pirouette), not the native AW of 'out'
-                return (
+                return _apply_rhythm(
                     self._destress(self._rules(stem[:-2]))
                     + ["UW0", "EH1", "T"]
                 )
-            return self._destress(self._rules(stem)) + ["EH1", "T"]
+            return _apply_rhythm(
+                self._destress(self._rules(stem)) + ["EH1", "T"]
+            )
         # English place-name -cester is a single ST ER0 syllable
         # (Leicester, Gloucester, Worcester); as an ending rule because
         # the soft-c rule would otherwise split it to S EH S T ER0
@@ -381,6 +478,22 @@ class G2p:
     # -- letter-to-sound -----------------------------------------------
 
     def _rules(self, word: str) -> List[str]:
+        """Letter-to-sound via the chunk scanner, then (when the induced
+        table is present) the data-driven correction pass
+        (textproc/lts.py), then stress normalization."""
+        w2, segs = self._rules_segs(word)
+        segs = _normalize_stress_segs(segs)
+        if self.lts is not None:
+            corrected = self.lts.correct(w2, segs)
+            if corrected != segs:
+                segs = _renormalize_after_corrections(segs, corrected)
+        return _apply_rhythm([p for _, _, ph in segs for p in ph])
+
+    def _rules_segs(self, word: str):
+        """The chunk scan with its (letter-span → phones) trace kept:
+        returns (transformed_word, [(i0, i1, phones), ...]) BEFORE
+        stress normalization. The trace is both the correction hook and
+        the LTS induction substrate (tools/induce_lts.py)."""
         word = word.replace("'", "")
         n0 = len(word)
         # magic-e: vowel + single consonant + final silent e -> the
@@ -395,9 +508,11 @@ class G2p:
         ):
             long_pos = n0 - 3
         # final silent 'e' (short words like 'be' come from the lexicon)
+        stripped = False
         if n0 > 3 and word.endswith("e") and word[-2] not in "aeiou":
             word = word[:-1]
-        phones: List[str] = []
+            stripped = True
+        segs: List[Tuple[int, int, Tuple[str, ...]]] = []
         i = 0
         n = len(word)
         while i < n:
@@ -405,30 +520,31 @@ class G2p:
             nxt = word[i + 1] if i + 1 < n else ""
             # soft c / soft g before e, i, y
             if ch == "c" and nxt and nxt in "eiy":
-                phones.append("S")
+                segs.append((i, i + 1, ("S",)))
                 i += 1
                 continue
             if ch == "g" and nxt and nxt in "ey":
-                phones.append("JH")
+                segs.append((i, i + 1, ("JH",)))
                 i += 1
                 continue
             # magic-e long vowel (u keeps its yod after labials/velars:
             # cube K Y UW1 B, but rude/flute/june are plain UW1)
             if i == long_pos and ch in _LONG:
                 if ch == "u" and i > 0 and word[i - 1] in "bcfghkmpv":
-                    phones.extend(["Y", "UW1"])
+                    segs.append((i, i + 1, ("Y", "UW1")))
                 else:
-                    phones.append(_LONG[ch])
+                    segs.append((i, i + 1, (_LONG[ch],)))
                 i += 1
                 continue
             # collapse doubled consonants
             if ch == nxt and ch not in _VOWELS:
+                segs.append((i, i + 1, ()))
                 i += 1
                 continue
             # word-final 'a' in a polysyllable is a schwa (sofa, asthma,
             # banana) — not the AE of a closed syllable
             if ch == "a" and i == n - 1 and any(c in _VOWELS for c in word[:i]):
-                phones.append("AH0")
+                segs.append((i, i + 1, ("AH0",)))
                 i += 1
                 continue
             matched = False
@@ -438,41 +554,40 @@ class G2p:
                     # (plurals after vowels go through the morphology
                     # path; monomorphemic -s after a vowel is usually S:
                     # gas, bus, chaos)
+                    last = segs[-1][2][-1] if segs and segs[-1][2] else ""
                     if (
                         graph == "s"
                         and i == n - 1
-                        and phones
-                        and phones[-1].rstrip("012") not in _VOICELESS
-                        and not phones[-1][-1].isdigit()
+                        and last
+                        and last.rstrip("012") not in _VOICELESS
+                        and not last[-1].isdigit()
                     ):
-                        phones.append("Z")
+                        segs.append((i, i + 1, ("Z",)))
                     # word-initial y is the glide
                     elif graph == "y" and i == 0:
-                        phones.append("Y")
+                        segs.append((i, i + 1, ("Y",)))
+                    # 'ei' is EY only in the vein/reign/beige family
+                    # (after v/r, or before g); the common reading
+                    # elsewhere is IY: receive, ceiling, seize, protein
+                    elif graph == "ei":
+                        if (i > 0 and word[i - 1] in "vr") or (
+                            i + 2 < n and word[i + 2] == "g"
+                        ):
+                            segs.append((i, i + 2, ("EY1",)))
+                        else:
+                            segs.append((i, i + 2, ("IY1",)))
                     else:
-                        phones.extend(ph.split())
+                        segs.append((i, i + len(graph), tuple(ph.split())))
                     i += len(graph)
                     matched = True
                     break
             if not matched:
+                segs.append((i, i + 1, ()))
                 i += 1  # drop unknown character
-        # demote all but the first primary stress
-        seen_primary = False
-        out = []
-        for p in phones:
-            if p.endswith("1"):
-                if seen_primary:
-                    p = p[:-1] + "0"
-                seen_primary = True
-            out.append(p)
-        if not seen_primary:
-            # every word carries one primary stress: promote the first
-            # vowel (fern F ER1 N, not F ER0 N)
-            for k, p in enumerate(out):
-                if p[-1:].isdigit():
-                    out[k] = p[:-1] + "1"
-                    break
-        return out
+        # a stripped silent e stays visible to the correction contexts
+        # ('them' and 'theme' must not share a context string) — the
+        # sentinel sits beyond the scanned span, so segs are unaffected
+        return word + ("~" if stripped else ""), segs
 
     # -- heteronyms ------------------------------------------------------
 

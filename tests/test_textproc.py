@@ -323,16 +323,20 @@ def test_g2p_adversarial_holdout():
     (serving never crashes on OOV), and the measured accuracy is pinned
     so regressions and improvements are visible.
 
-    Measured 2026-08-20 pm (after the silent-cluster chunks sthm/lh/ei,
-    the -cester-vs-agentive-er fix, pre-tonic AE0->AH0 reduction in
-    destressed French-ending stems, nd+some d-deletion, and -ouette):
-    mean PHONEME-level accuracy 0.578 (0.53 am, 0.44 on 2026-08-19),
-    3/24 word-exact (czar, handsome, fatigue; was 1/24). The gate below
-    pins a ≥0.55 phoneme-accuracy floor — a regression in the rule
-    engine now fails loudly. Full word-exact parity on these needs
-    g2p_en's neural model; the remaining misses are genuinely unruly
-    (siobhan, gauge, depot). If accuracy improves, raise the floor AND
-    update the PARITY.md G2P entry."""
+    Measured 2026-08-21 (round 5: induced LTS correction pass —
+    textproc/lts.py error-driven TBL over the ~1950-entry lexicon with
+    from-phones LHS, keep-shields, obligatory boundary contexts —
+    plus the tg/pb silent-cluster chunks, sthm voicing with the
+    isthmus lexicon exception, contextual 'ei', and the initial
+    secondary-stress rhythm rule): mean PHONEME-level accuracy 0.625
+    (0.578 on 2026-08-20, 0.44 on 2026-08-19), 6/24 word-exact (czar,
+    handsome, fatigue, mortgage, silhouette, asthma; was 3/24). The
+    gate below pins a ≥0.60 phoneme-accuracy floor and ≥6 exact — a
+    regression in the rule engine or the induced table now fails
+    loudly. Full word-exact parity on these needs g2p_en's neural
+    model; the remaining misses are genuinely unruly letter-to-sound
+    exceptions (siobhan, gauge, depot, corps, indict). If accuracy
+    improves, raise the floor AND update the PARITY.md G2P entry."""
     from styler_tpu.textproc.lexicon import LEXICON
     from styler_tpu.textproc.symbols import symbol_to_id as s2i
 
@@ -388,11 +392,14 @@ def test_g2p_adversarial_holdout():
         gp = pron.split()
         phone_acc += max(0.0, 1.0 - lev(out, gp) / len(gp))
     phone_acc /= len(gold)
-    assert phone_acc >= 0.55, (
+    assert phone_acc >= 0.60, (
         f"adversarial phoneme-level accuracy regressed to {phone_acc:.3f} "
-        "(floor 0.55 measured 2026-08-20)"
+        "(floor 0.60 measured 2026-08-21)"
     )
-    assert hits >= 3, "word-exact floor (czar, handsome, fatigue) regressed"
+    assert hits >= 6, (
+        "word-exact floor (czar, handsome, fatigue, mortgage, "
+        "silhouette, asthma) regressed"
+    )
     assert hits / len(gold) <= 0.5, (
         f"adversarial exact accuracy now {hits / len(gold):.2f} — "
         "congratulations; raise the bound and update PARITY.md"
@@ -407,3 +414,49 @@ def test_g2p_loaded_lexicon_overrides_builtin(tmp_path):
     g2p = G2p(cmudict_path=str(lex))
     assert g2p("the") == ["DH", "IY1"]
     assert g2p("zyzzyva") == ["Z", "IH1", "Z", "IH0", "V", "AH0"]
+
+
+def test_lts_rules_table_in_sync():
+    """The committed induced-correction table (textproc/lts_rules.py,
+    generated by tools/induce_lts.py) must match what the current
+    lexicon + induction settings produce — a stale table after a
+    lexicon edit fails here, not in production."""
+    from styler_tpu.textproc import lts
+    from styler_tpu.textproc.g2p import G2p, _normalize_stress_segs
+    from styler_tpu.textproc.lexicon import LEXICON
+    from styler_tpu.textproc.lts_rules import RULES
+
+    g2p = G2p(auto=False)
+    g2p.lts = None  # trace the bare engine
+    traces = []
+    for w in sorted(LEXICON):
+        if not w.isalpha() or LEXICON[w].startswith("DH"):
+            continue  # closed-class exclusion (tools/induce_lts.py)
+        w2, segs = g2p._rules_segs(w)
+        traces.append((w2, _normalize_stress_segs(segs), LEXICON[w].split()))
+    induced = lts.induce(traces, min_support=3)
+    committed = {
+        (k[0], k[1], k[2], tuple(k[3])): (None if v is None else tuple(v))
+        for k, v in RULES
+    }
+    assert committed == induced, (
+        f"lts_rules.py is stale: {len(committed)} committed vs "
+        f"{len(induced)} induced — rerun tools/induce_lts.py"
+    )
+
+
+def test_lts_corrector_mechanics():
+    """Unit semantics of the correction pass: from-phones LHS gating,
+    specificity ordering, and keep-shields."""
+    from styler_tpu.textproc.lts import LtsCorrector
+
+    cor = LtsCorrector({
+        ("a", "", "p", ("AE1",)): ("AH0",),       # general correction
+        ("a", "r", "p", ("AE1",)): None,           # more specific shield
+    })
+    # shield wins where its context matches
+    assert cor.correct("rap", [(1, 2, ("AE1",))]) == [(1, 2, ("AE1",))]
+    # general correction applies elsewhere
+    assert cor.correct("tap", [(1, 2, ("AE1",))]) == [(1, 2, ("AH0",))]
+    # from-phones mismatch -> untouched
+    assert cor.correct("tap", [(1, 2, ("EY1",))]) == [(1, 2, ("EY1",))]

@@ -44,7 +44,8 @@ def test_trained_asset_loads_and_vocode(asset, arch, eval_json):
     assert got == want, f"{asset} tree drifted from {arch} definition"
 
     mel_path = os.path.join(ASSET_DIR, "val_mel.npy")
-    mel = np.load(mel_path)[:64] if os.path.isfile(mel_path) else (
+    have_real_mel = os.path.isfile(mel_path)
+    mel = np.load(mel_path)[:64] if have_real_mel else (
         np.random.default_rng(0).standard_normal((64, 80)).astype(np.float32)
     )
     wav = np.asarray(
@@ -52,8 +53,12 @@ def test_trained_asset_loads_and_vocode(asset, arch, eval_json):
     )[0]
     assert wav.shape == (64 * 256,)
     assert np.isfinite(wav).all()
-    # trained generators produce real audio, not near-silence
-    assert 1e-3 < np.abs(wav).max() < 4.0
+    # trained generators produce real audio, not near-silence — but only
+    # on in-domain input: N(0,1) random mels are far outside the
+    # natural-log-mel domain, so the amplitude gate would be checking
+    # out-of-distribution behavior (could flake or mask corruption)
+    if have_real_mel:
+        assert 1e-3 < np.abs(wav).max() < 4.0
 
     # the eval record the README/bench quote must exist, parse, and show
     # a trained-vs-random improvement

@@ -265,8 +265,9 @@ def main():
     early_corr = traj[0]["residual_corr"]
     # adversarial training fluctuates probe-to-probe; every gate is
     # evaluated on the TRAILING MEAN of the last 5 probes, not on one
-    # arbitrary final step
-    tail = traj[-5:]
+    # arbitrary final step. Never let the step-0 (untrained) probe into
+    # the tail on short runs — it would skew the gates either way.
+    tail = [m for m in traj[-5:] if m["step"] > 0] or traj[-1:]
 
     def tmean(key):
         return float(np.mean([m[key] for m in tail]))
