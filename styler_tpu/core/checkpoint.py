@@ -70,13 +70,6 @@ def restore_checkpoint(ckpt_dir: str, step: int, state):
     )
 
 
-def latest_step(ckpt_dir: str) -> Optional[int]:
-    if not os.path.isdir(ckpt_dir):
-        return None
-    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
-    return max(steps) if steps else None
-
-
 def save_vocoder_params(out_dir: str, step: int, params) -> str:
     """Save natively-trained vocoder generator params (cli/train_vocoder.py)
     as an orbax directory <out_dir>/<step>."""
@@ -143,6 +136,44 @@ def load_vocoder_npz(path: str):
 
     with np.load(path) as z:
         return _unflatten_tree({k: z[k].astype(np.float32) for k in z.files})
+
+
+def save_acoustic_npz(path: str, params, batch_stats) -> None:
+    """Export trained STYLER acoustic weights (params + PostNet
+    batch_stats) as ONE compressed f16 .npz — a committable repo asset
+    like the vocoder generators (the reference ships its 560k-step
+    checkpoint out-of-band, README.md:14-15; we commit ours in-repo).
+    Batch-stats leaves are prefixed ``__stats__/`` to keep the two
+    collections separable on load."""
+    import numpy as np
+
+    flat = {
+        k: np.asarray(v).astype(np.float16)
+        for k, v in _flatten_tree(params).items()
+    }
+    flat.update({
+        f"__stats__/{k}": np.asarray(v).astype(np.float16)
+        for k, v in _flatten_tree(batch_stats or {}).items()
+    })
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_acoustic_npz(path: str) -> Tuple[Any, Any]:
+    """Inverse of :func:`save_acoustic_npz`: -> (params, batch_stats)
+    f32 flax trees."""
+    import numpy as np
+
+    with np.load(path) as z:
+        flat = {k: z[k].astype(np.float32) for k in z.files}
+    stats = {
+        k[len("__stats__/"):]: v
+        for k, v in flat.items() if k.startswith("__stats__/")
+    }
+    params = {
+        k: v for k, v in flat.items() if not k.startswith("__stats__/")
+    }
+    return _unflatten_tree(params), _unflatten_tree(stats)
 
 
 def load_reference_checkpoint(path: str, config) -> Tuple[Any, Any]:

@@ -84,20 +84,61 @@ def mfa_align(in_dir: str, out_dir: str, mfa_path: str = "./montreal-forced-alig
     return mfa_out_dir
 
 
-class SpeakerEmbedder:
-    """JAX ResCNN speaker embedder with graceful fallback."""
+def default_speaker_asset() -> Optional[str]:
+    """Path to the committed on-box-trained speaker encoder
+    (cli/train_speaker.py), or None."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "assets", "speaker", "encoder_gen.npz",
+    )
+    return path if os.path.exists(path) else None
 
-    def __init__(self, config: Config):
+
+class SpeakerEmbedder:
+    """JAX speaker embedder with a three-tier resolution:
+
+    1. the reference's pretrained DeepSpeaker ``.h5`` when present
+       (parity tier — reference embedding.py:8-24),
+    2. the committed on-box-trained :class:`SpeakerEncoder` asset
+       (``assets/speaker/encoder_gen.npz``, cli/train_speaker.py —
+       learned on the synthetic corpora; quality pinned in
+       ``assets/speaker/encoder_eval.json``),
+    3. the deterministic spectral-envelope fallback (quantified in
+       tests/test_data.py::test_speaker_fallback_separates_speakers).
+
+    ``backend`` pins a tier explicitly: "auto" (default), "h5",
+    "native" (trained asset), or "fallback".
+    """
+
+    def __init__(self, config: Config, backend: str = "auto"):
         self.config = config
         self.model = None
         self.variables = None
+        self._jitted = None
         h5 = config.speaker_embedder_dir
-        if os.path.exists(h5):
+        native = default_speaker_asset()
+        if backend not in ("auto", "h5", "native", "fallback"):
+            raise ValueError(f"unknown speaker backend: {backend}")
+        if backend in ("auto", "h5") and os.path.exists(h5):
             from styler_tpu.speaker import ResCNN, import_deepspeaker_h5
 
             self.model = ResCNN()
             self.variables = import_deepspeaker_h5(h5)
-        else:
+        elif backend == "h5":
+            raise FileNotFoundError(h5)
+        elif backend in ("auto", "native") and native:
+            from styler_tpu.core.checkpoint import load_acoustic_npz
+            from styler_tpu.speaker import SpeakerEncoder
+
+            params, batch_stats = load_acoustic_npz(native)
+            self.model = SpeakerEncoder()
+            self.variables = {"params": params, "batch_stats": batch_stats}
+            print(f"[vctk] speaker embedder: trained native asset {native}",
+                  file=sys.stderr)
+        elif backend == "native":
+            raise FileNotFoundError("assets/speaker/encoder_gen.npz")
+        elif backend == "auto":
             print(
                 f"[vctk] speaker embedder checkpoint not found at {h5}; "
                 "writing deterministic fallback embeddings",
@@ -149,7 +190,13 @@ class SpeakerEmbedder:
             self.config.win_length,
             rng=rng,
         )
-        emb = self.model.apply(self.variables, jnp.asarray(feats[None]))
+        if self._jitted is None:
+            import jax
+
+            # eager flax apply costs one tunnel RPC per op on the axon
+            # platform (CLAUDE.md) — embed through one compiled program
+            self._jitted = jax.jit(self.model.apply)
+        emb = self._jitted(self.variables, jnp.asarray(feats[None]))
         return np.asarray(emb)
 
 

@@ -916,14 +916,32 @@ def default_vocoder_asset(arch: str) -> Optional[str]:
     return path if os.path.exists(path) else None
 
 
+def default_acoustic_asset() -> Optional[str]:
+    """Path to the committed trained STYLER acoustic weights
+    (tools/export_acoustic_asset.py), or None. The serving analog of the
+    reference's published 560k-step checkpoint (README.md:14-15)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "acoustic", "styler_gen.npz",
+    )
+    return path if os.path.exists(path) else None
+
+
 def load_synthesizer(
     config: Config,
     ckpt_path: Optional[str] = None,
     vocoder_path: Optional[str] = None,
     vocoder_arch: Optional[str] = None,
 ) -> Synthesizer:
-    """Build a Synthesizer from a reference ``.pth.tar``, an orbax dir, or
-    fresh random weights.
+    """Build a Synthesizer from a reference ``.pth.tar``, an orbax dir, a
+    trained ``.npz`` acoustic asset, or fresh random weights.
+
+    Acoustic resolution: an explicit ``ckpt_path`` always wins
+    (``.pth.tar`` → reference importer, dir → orbax, ``.npz`` →
+    committed-asset format); ``ckpt_path=None`` falls back to the
+    committed trained acoustic asset under ``assets/acoustic/`` when one
+    exists; ``ckpt_path="random"`` is the explicit random-init escape
+    hatch for tests/experiments.
 
     Vocoder resolution mirrors the reference's contract that serving
     always gets REAL pretrained vocoder weights (reference
@@ -960,11 +978,24 @@ def load_synthesizer(
         from styler_tpu.core.checkpoint import load_reference_checkpoint
 
         params, batch_stats = load_reference_checkpoint(ckpt_path, config)
-    elif ckpt_path and os.path.isdir(ckpt_path):
+    elif ckpt_path and ckpt_path != "random" and ckpt_path.endswith(".npz"):
+        from styler_tpu.core.checkpoint import load_acoustic_npz
+
+        params, batch_stats = load_acoustic_npz(ckpt_path)
+    elif ckpt_path and ckpt_path != "random" and os.path.isdir(ckpt_path):
         import orbax.checkpoint as ocp
 
         restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
         params, batch_stats = restored["params"], restored["batch_stats"]
+    elif ckpt_path is None and default_acoustic_asset():
+        # natively-served default: the committed trained acoustic asset,
+        # mirroring the vocoder resolution below (the reference never
+        # serves untrained weights; README.md:14-15 ships a checkpoint)
+        from styler_tpu.core.checkpoint import load_acoustic_npz
+
+        asset = default_acoustic_asset()
+        params, batch_stats = load_acoustic_npz(asset)
+        _log.info("acoustic: loaded trained asset %s", asset)
     else:
         from __graft_entry__ import _example_batch
 
