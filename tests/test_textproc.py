@@ -323,17 +323,15 @@ def test_g2p_adversarial_holdout():
     (serving never crashes on OOV), and the measured accuracy is pinned
     so regressions and improvements are visible.
 
-    Measured 2026-08-21 (round 5: induced LTS correction pass —
-    textproc/lts.py error-driven TBL over the ~1950-entry lexicon with
-    from-phones LHS, keep-shields, obligatory boundary contexts —
-    plus the tg/pb silent-cluster chunks, sthm voicing with the
-    isthmus lexicon exception, contextual 'ei', and the initial
-    secondary-stress rhythm rule): mean PHONEME-level accuracy 0.625
-    (0.578 on 2026-08-20, 0.44 on 2026-08-19), 6/24 word-exact (czar,
-    handsome, fatigue, mortgage, silhouette, asthma; was 3/24). The
-    gate below pins a ≥0.60 phoneme-accuracy floor and ≥6 exact — a
-    regression in the rule engine or the induced table now fails
-    loudly. Full word-exact parity on these needs g2p_en's neural
+    Measured 2026-08-21 (round 5: lexicon expanded ~1950 → ~2740
+    entries — high-frequency coverage + French/Greek loanword
+    families — and the LTS correction table re-induced over it
+    (tools/induce_lts.py --min_support 3, 370 rules): mean
+    PHONEME-level accuracy 0.635 (0.625 earlier in round 5, 0.578 on
+    2026-08-20, 0.44 on 2026-08-19), 6/24 word-exact (czar, handsome,
+    fatigue, mortgage, silhouette, asthma; was 3/24). The gate below
+    pins a ≥0.62 phoneme-accuracy floor and ≥6 exact — a regression
+    in the rule engine or the induced table now fails loudly. Full word-exact parity on these needs g2p_en's neural
     model; the remaining misses are genuinely unruly letter-to-sound
     exceptions (siobhan, gauge, depot, corps, indict). If accuracy
     improves, raise the floor AND update the PARITY.md G2P entry."""
@@ -392,9 +390,9 @@ def test_g2p_adversarial_holdout():
         gp = pron.split()
         phone_acc += max(0.0, 1.0 - lev(out, gp) / len(gp))
     phone_acc /= len(gold)
-    assert phone_acc >= 0.60, (
+    assert phone_acc >= 0.62, (
         f"adversarial phoneme-level accuracy regressed to {phone_acc:.3f} "
-        "(floor 0.60 measured 2026-08-21)"
+        "(floor 0.62 measured 2026-08-21)"
     )
     assert hits >= 6, (
         "word-exact floor (czar, handsome, fatigue, mortgage, "
