@@ -17,6 +17,9 @@ EXPECTED_METRICS = {
     "preprocess_throughput_rtf",
     "istft_single_rtf",
     "int8_vocoder_single_rtf",
+    # compact full-matrix recap emitted as the FINAL line so the
+    # driver's 4 KB output tail always carries every number
+    "summary",
 }
 
 
@@ -38,4 +41,7 @@ def test_bench_smoke_emits_full_matrix(monkeypatch, capsys):
         assert line["value"] > 0
         assert line["unit"]
         assert "vs_baseline" in line
+    # the summary must be the LAST line and recap every other metric
+    assert lines[-1]["metric"] == "summary"
+    assert set(lines[-1]["all"]) == EXPECTED_METRICS - {"summary"}
         assert line["detail"]["smoke"] is True

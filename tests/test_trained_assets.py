@@ -67,3 +67,40 @@ def test_trained_asset_loads_and_vocode(asset, arch, eval_json):
     assert ev["asset"] == asset
     assert ev["mel_recon_mae"] < 0.5
     assert ev["mel_recon_mae"] < ev["mel_recon_mae_random_init"] / 5
+
+
+def test_trained_speaker_encoder_asset():
+    """The committed on-box-trained speaker encoder
+    (assets/speaker/encoder_gen.npz, cli/train_speaker.py) must load
+    through the production SpeakerEmbedder tier, produce L2-normalized
+    embeddings, and its eval record must show the learned margin that
+    motivates it over the envelope fallback (heldout nearest-centroid
+    ID == 1.0, mean margin 0.66 vs the fallback's 0.044 cosine gap —
+    tests/test_data.py::test_speaker_fallback_separates_speakers)."""
+    from styler_tpu.core.config import default_config
+    from styler_tpu.data.vctk import SpeakerEmbedder, default_speaker_asset
+
+    asset = default_speaker_asset()
+    if not asset:
+        pytest.skip("speaker encoder asset not present in this checkout")
+
+    cfg = default_config()
+    emb = SpeakerEmbedder(cfg, backend="native")
+    assert emb.model is not None
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(cfg.sampling_rate * 1.2)) / cfg.sampling_rate
+    wav = (0.3 * np.sin(2 * np.pi * 180 * t)
+           + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    e = emb.embed_wav(wav)[0]
+    assert e.shape == (cfg.speaker_embed_dim,)
+    assert np.isfinite(e).all()
+    np.testing.assert_allclose(np.linalg.norm(e), 1.0, atol=1e-4)
+
+    eval_json = os.path.join(
+        os.path.dirname(ASSET_DIR), "speaker", "encoder_eval.json")
+    with open(eval_json) as f:
+        ev = json.load(f)
+    assert ev["heldout_id_accuracy"] >= 0.95
+    assert ev["mean_margin"] >= 0.3
+    assert ev["n_speakers"] >= 10
