@@ -373,20 +373,33 @@ class G2p:
         # rules with the usual spelling changes undone (undoubling,
         # silent-e restoration)
         if len(word) > 3 and word.endswith("s") and not word.endswith("ss"):
+            # s-final words that are not plurals: the -orps family's
+            # ending rule must win over plural decomposition (corps)
+            whole = self._endings(word)
+            if whole is not None:
+                return whole
             base = self._stem_phones(word[:-1])  # slides -> slide, makes -> make
             if base is None and word.endswith("es"):
                 base = self._stem_phones(word[:-2])  # boxes -> box
             if base is None:
                 # plain -s leaves the stem spelling intact; the e of
                 # -es belongs to the stem (stoves, slides) unless it was
-                # inserted after a sibilant letter (boxes, churches)
+                # inserted after a sibilant letter (boxes, churches).
+                # Stems keep their ending-rule readings (gauges,
+                # fatigues, colleagues).
                 if word.endswith("es") and word[-3] in "hsxz":
-                    base = self._rules(word[:-2])
+                    base = self._endings(word[:-2]) or self._rules(word[:-2])
                 else:
-                    base = self._rules(word[:-1])
+                    base = self._endings(word[:-1]) or self._rules(word[:-1])
             return base + _s_allomorph(base)
         if len(word) > 4 and word.endswith("ed"):
-            base = self._stem_phones(word[:-2]) or self._stem_rules(word[:-2])
+            base = (
+                self._stem_phones(word[:-2])
+                or self._endings(word[:-2])
+                # e-final stems spell -ed with one letter (gauged)
+                or self._endings(word[:-1])
+                or self._stem_rules(word[:-2])
+            )
             return base + _ed_allomorph(base)
         for suf, phones in _SUFFIX_PHONES.items():
             if len(word) > len(suf) + 2 and word.endswith(suf):
@@ -396,7 +409,7 @@ class G2p:
                 if suf == "er" and word.endswith("cester"):
                     break  # place-name -cester is not agentive -er;
                     # fall through to the ending rule below
-                base = self._stem_phones(stem)
+                base = self._stem_phones(stem) or self._endings(stem)
                 if base is None and suf in ("ing", "er", "est", "en", "y"):
                     base = self._stem_rules(stem)
                 if base is not None:
@@ -405,6 +418,49 @@ class G2p:
                         base = base[:-1]
                     return base + phones
 
+        ending = self._endings(word)
+        if ending is not None:
+            return ending
+
+        return self._rules(word)
+
+    def _endings(self, word: str) -> Optional[List[str]]:
+        """Ending rules: grapheme clusters whose reading is fixed by the
+        word-final context and cannot be composed from letter chunks.
+        Returns None when no rule applies (caller falls back to the
+        chunk rules). Split from _pronounce so the inflectional-suffix
+        paths can consult the same rules for stems (gauges, fatigues,
+        indictment).
+
+        Closed-class cluster endings — like the place-name -cester rule,
+        each covers a small closed family (the reference's neural g2p_en
+        memorizes these from CMUdict):
+          -auge   EY1 JH  (gauge, gauged, gauges — no AO counters)
+          -flage  F L AA2 ZH  (camouflage, persiflage; French -age
+                  after fl keeps the full AA ZH reading)
+          -orps   AO1 R   (corps, corps-man: French silent ps)
+          -ndict  N D AY1 T  (indict and derivatives; contrast
+                  verdict/predict where -dict is D IH0 K T)
+          -tenant T EH1 N AH0 N T  (compound tenancy family:
+                  lieutenant, subtenant, cotenant — stem destressed,
+                  head noun keeps primary stress)
+        """
+        if len(word) > 4 and word.endswith("auge"):
+            return self._rules(word[:-4]) + ["EY1", "JH"]
+        if len(word) > 6 and word.endswith("flage"):
+            return _apply_rhythm(self._rules(word[:-5]) + ["F", "L", "AA2", "ZH"])
+        if len(word) > 4 and word.endswith("orps"):
+            return self._rules(word[:-4]) + ["AO1", "R"]
+        if len(word) > 5 and word.endswith("ndict"):
+            return _apply_rhythm(
+                self._destress(self._rules(word[:-5]))
+                + ["N", "D", "AY1", "T"]
+            )
+        if len(word) > 7 and word.endswith("tenant"):
+            return _apply_rhythm(
+                self._destress(self._pronounce(word[:-6]))
+                + ["T", "EH1", "N", "AH0", "N", "T"]
+            )
         # French-origin endings regular enough to be rules: -ique is a
         # stressed IY1 K (boutique, critique, oblique), -igue a stressed
         # IY1 G (fatigue, intrigue); any other final -gue is a bare G
@@ -448,7 +504,7 @@ class G2p:
         ):
             return self._rules(word[:-3]) + ["AH0", "JH"]
 
-        return self._rules(word)
+        return None
 
     @staticmethod
     def _destress(phones: List[str]) -> List[str]:
