@@ -53,6 +53,23 @@ def _example_batch(cfg, B, L, M, seed=0):
     )
 
 
+def _model_variables(cfg, model, batch):
+    """Serving-default acoustic weights: the committed trained asset
+    when present (identical program shapes/speed — bench what serving
+    runs), else a fresh jitted init."""
+    import jax
+
+    from styler_tpu.synthesis import default_acoustic_asset
+
+    asset = default_acoustic_asset()
+    if asset:
+        from styler_tpu.core.checkpoint import load_acoustic_npz
+
+        params, batch_stats = load_acoustic_npz(asset)
+        return {"params": params, "batch_stats": batch_stats}
+    return jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
+
+
 def _make_vocode(gen, mel_frames, arch="HiFi-GAN"):
     """(vocode_fn, fused: bool) — gen.apply routed through the fused
     Pallas resblock path on TPU (same dispatch rule as
@@ -95,7 +112,7 @@ def _build(cfg, B, L, M):
 
     batch = _example_batch(cfg, B, L, M)
     model = STYLER(cfg)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
+    variables = _model_variables(cfg, model, batch)
     # serving-default vocoder resolution (synthesis.load_synthesizer rule
     # 2): the trained iSTFTNet asset when committed, else cfg.vocoder;
     # trained weights whenever an asset matches the arch
@@ -373,7 +390,7 @@ def bench_noisy(cfg, B=1, L=128, M=1024):
     batch = _example_batch(cfg, B, L, M)
     batch = dict(batch, mel_target=batch["mel_aug"])  # --noisy_input contract
     model = STYLER(cfg)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
+    variables = _model_variables(cfg, model, batch)
     gen = Generator()
     gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
     vocode, fused = _make_vocode(gen, M)
@@ -457,7 +474,7 @@ def bench_vocoder(cfg):
     B, L, M = 1, (16 if _SMOKE else 128), (128 if _SMOKE else 1024)
     batch = _example_batch(cfg, B, L, M)
     model = STYLER(cfg)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), **batch)
+    variables = _model_variables(cfg, model, batch)
     on_tpu = jax.default_backend() == "tpu"
     audio_sec = B * M * cfg.hop_length / cfg.sampling_rate
 
