@@ -385,15 +385,31 @@ def bench_noisy(cfg, B=1, L=128, M=1024):
     import jax.numpy as jnp
 
     from styler_tpu.models import STYLER
-    from styler_tpu.vocoder import Generator
 
     batch = _example_batch(cfg, B, L, M)
     batch = dict(batch, mel_target=batch["mel_aug"])  # --noisy_input contract
     model = STYLER(cfg)
     variables = _model_variables(cfg, model, batch)
-    gen = Generator()
-    gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
-    vocode, fused = _make_vocode(gen, M)
+    # serving-default vocoder resolution, like _build: the shipped
+    # --noisy_input path runs whatever serving runs (trained iSTFTNet
+    # when committed)
+    from styler_tpu.synthesis import default_vocoder_asset
+    from styler_tpu.vocoder import make_generator
+
+    arch = cfg.vocoder
+    if arch == "HiFi-GAN" and default_vocoder_asset("iSTFTNet"):
+        arch = "iSTFTNet"
+    gen = make_generator(arch)
+    asset = default_vocoder_asset(arch)
+    if asset:
+        from styler_tpu.core.checkpoint import load_vocoder_npz
+
+        gen_vars = {"params": load_vocoder_npz(asset)}
+    else:
+        gen_vars = jax.jit(gen.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, 80))
+        )
+    vocode, fused = _make_vocode(gen, M, arch)
 
     def make_synth(residual):
         @jax.jit
@@ -429,6 +445,8 @@ def bench_noisy(cfg, B=1, L=128, M=1024):
         audio_sec / dt_on,
         {
             "batch": B,
+            "vocoder": arch,
+            "trained_vocoder": bool(asset),
             "residual_decoding": "on",
             "step_ms": round(dt_on * 1e3, 2),
             "rtf_residual_off": round(audio_sec / dt_off, 2),
@@ -701,6 +719,14 @@ def bench_train(cfg):
                 "vs_baseline": round(frames_per_sec / cfg.n_frames_per_sec, 1),
                 "detail": detail,
             }
+        )
+    )
+    # include in the final summary recap (units noted in its own line)
+    _EMITTED.append(
+        (
+            "train_mel_frames_per_sec",
+            round(frames_per_sec, 1),
+            round(frames_per_sec / cfg.n_frames_per_sec, 1),
         )
     )
 
