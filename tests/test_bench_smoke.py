@@ -41,7 +41,10 @@ def test_bench_smoke_emits_full_matrix(monkeypatch, capsys):
         assert line["value"] > 0
         assert line["unit"]
         assert "vs_baseline" in line
+        if line["metric"] != "summary":
+            # smoke numbers must be unmistakable as non-measurements
+            assert line["detail"]["smoke"] is True
     # the summary must be the LAST line and recap every other metric
     assert lines[-1]["metric"] == "summary"
+    assert lines[-1]["smoke"] is True
     assert set(lines[-1]["all"]) == EXPECTED_METRICS - {"summary"}
-        assert line["detail"]["smoke"] is True
