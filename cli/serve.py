@@ -178,6 +178,15 @@ def main() -> None:
         if req.get("cmd") == "shutdown":
             reply({"id": rid, "ok": True, "bye": True})
             return
+        if "sentence" not in req and "sentences" not in req:
+            # unknown shape: answer with the contract instead of the
+            # KeyError the missing field would raise downstream
+            reply({
+                "id": rid, "ok": False,
+                "error": "request needs 'sentence' or 'sentences' "
+                         "(plus 'ref'/'refs'), or cmd ping|shutdown",
+            })
+            continue
         try:
             t0 = time.perf_counter()
             if "sentences" in req:

@@ -217,6 +217,8 @@ def test_serve_cli(tmp_path, monkeypatch):
             # long sentence: chunked synthesis, not a broadcast crash
             {"id": 8, "ref": "p001_001",
              "sentence": "The quick brown fox jumps over the lazy dog, " * 4},
+            # unknown request shape: a contract message, not a KeyError
+            {"id": 9, "ref": "p001_001"},
             {"id": 4, "cmd": "shutdown"},
         ]
         proc.stdin.write("".join(json.dumps(r) + "\n" for r in reqs))
@@ -254,6 +256,8 @@ def test_serve_cli(tmp_path, monkeypatch):
     assert by_id[8]["ok"], by_id[8]
     sr, data = wavfile.read(by_id[8]["wav"])
     assert sr == 22050 and len(data) == by_id[8]["mel_len"] * 256 > 0
+    # request with neither sentence nor sentences: contract message
+    assert not by_id[9]["ok"] and "sentence" in by_id[9]["error"]
 
 
 def test_enable_persistent_cache(tmp_path, monkeypatch):
