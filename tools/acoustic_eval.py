@@ -218,6 +218,17 @@ def main():
         mlen = np.asarray(fr["mel_len_pred"])
         from scipy.io import wavfile
 
+        # AUDIO-level quality of the full text->wav pipeline: re-analyze
+        # each free-running waveform (through the trained vocoder) with
+        # the serving mel front end and compare against the ground-truth
+        # mel over the overlapping prefix — the through-the-stack analog
+        # of mel_mae_free (which stops at the acoustic model's mel).
+        from styler_tpu.dsp import MelFrontend
+
+        frontend = MelFrontend(cfg)
+        gt_mel = np.asarray(batch["mel_target"])
+        gt_len = np.asarray(batch["mel_len"])
+        audio_maes = []
         for i in range(min(args.n_wavs, mel.shape[0])):
             wav = np.asarray(vfn(mel[i:i + 1]))[0]
             wav = wav[: int(mlen[i]) * cfg.hop_length]
@@ -226,7 +237,17 @@ def main():
                 cfg.sampling_rate,
                 (np.clip(wav, -1, 1) * 32767).astype(np.int16),
             )
+            remel = np.asarray(frontend(np.clip(wav, -1, 1))[0]).T  # [F,80]
+            n = min(remel.shape[0], int(gt_len[i]))
+            if n > 0:
+                audio_maes.append(
+                    float(np.abs(remel[:n] - gt_mel[i, :n]).mean())
+                )
         record["wav_dir"] = args.wav_dir
+        if audio_maes:
+            record["mel_mae_free_audio"] = round(
+                float(np.mean(audio_maes)), 5)
+            record["mel_mae_free_audio_n"] = len(audio_maes)
 
     print(json.dumps(record))
     if args.json:
