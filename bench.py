@@ -875,7 +875,26 @@ def main():
         "vocoder": lambda: bench_vocoder(cfg),
     }
     for name in runners if args.config == "all" else [args.config]:
-        runners[name]()
+        if args.config != "all":
+            runners[name]()  # single-config runs fail loudly
+            continue
+        # full-matrix runs are the driver's round artifact: one config
+        # crashing must not silently drop every later row + the summary
+        try:
+            runners[name]()
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{name}_ERROR",
+                        "value": 0,
+                        "unit": "error",
+                        "vs_baseline": 0,
+                        "detail": {"error": f"{type(e).__name__}: {e}"},
+                    }
+                ),
+                flush=True,
+            )
 
     if len(_EMITTED) > 1:
         # compact full-matrix recap as the final line (detail-free so it
